@@ -1,0 +1,26 @@
+"""Test harness: force an 8-virtual-device CPU mesh before jax initializes.
+
+Benchmarks run on real TPU separately; tests exercise the identical code on
+host CPU (including shard_map/psum multi-device paths) per SURVEY.md §4.5.
+"""
+import os
+
+# NOTE: this image pre-imports jax (sitecustomize) with JAX_PLATFORMS=axon
+# (remote TPU tunnel), so plain env vars are too late — use jax.config.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)  # allow f64 oracle-parity tests
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    return jax.devices("cpu")

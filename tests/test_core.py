@@ -1,0 +1,57 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vpt.core import vecmath as vm
+from vpt.core import rng
+
+
+def test_dot_cross_normalize():
+    a = jnp.array([[1.0, 2.0, 3.0], [0.0, 0.0, 2.0]])
+    b = jnp.array([[4.0, 5.0, 6.0], [1.0, 0.0, 0.0]])
+    np.testing.assert_allclose(vm.dot(a, b), [32.0, 0.0])
+    np.testing.assert_allclose(vm.cross(a, b)[0], [-3.0, 6.0, -3.0])
+    n = vm.normalize(a)
+    np.testing.assert_allclose(vm.norm(n), [1.0, 1.0], rtol=1e-6)
+
+
+def test_onb_orthonormal():
+    key = jax.random.PRNGKey(0)
+    n = vm.normalize(jax.random.normal(key, (128, 3)))
+    s, t = vm.build_onb(n)
+    np.testing.assert_allclose(vm.dot(s, t), 0.0, atol=1e-5)
+    np.testing.assert_allclose(vm.dot(s, n), 0.0, atol=1e-5)
+    np.testing.assert_allclose(vm.dot(t, n), 0.0, atol=1e-5)
+    np.testing.assert_allclose(vm.norm(s), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(vm.norm(t), 1.0, rtol=1e-5)
+
+
+def test_to_local_roundtrip():
+    key = jax.random.PRNGKey(1)
+    n = vm.normalize(jax.random.normal(key, (64, 3)))
+    w = vm.normalize(jax.random.normal(jax.random.fold_in(key, 1), (64, 3)))
+    local = vm.to_local(n, w)
+    # n maps to +z
+    np.testing.assert_allclose(vm.to_local(n, n)[:, 2], 1.0, atol=1e-5)
+    back = vm.from_local(n, local)
+    np.testing.assert_allclose(back, w, atol=1e-5)
+
+
+def test_display_value_matches_reference_formula():
+    # toDisplayValue(x) = int(pow(clamp(x), 1/2.2) * 255 + .5)
+    # (mathUtilities.h:43-45)
+    xs = jnp.array([-0.5, 0.0, 0.25, 0.5, 1.0, 2.0])
+    got = vm.to_display_value(xs)
+    want = [int(np.power(np.clip(x, 0, 1), 1 / 2.2) * 255 + 0.5) for x in np.array(xs)]
+    np.testing.assert_array_equal(np.array(got), want)
+
+
+def test_rng_streams_distinct_and_deterministic():
+    key = jax.random.PRNGKey(7)
+    a = rng.uniform(rng.fold(key, rng.Tag.RR), (100,))
+    b = rng.uniform(rng.fold(key, rng.Tag.DISTANCE), (100,))
+    a2 = rng.uniform(rng.fold(key, rng.Tag.RR), (100,))
+    assert not np.allclose(a, b)
+    np.testing.assert_array_equal(a, a2)
+    assert float(jnp.min(a)) >= 0.0 and float(jnp.max(a)) < 1.0

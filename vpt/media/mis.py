@@ -1,0 +1,172 @@
+"""Multiple importance sampling of spherical lights vs BSDF.
+
+Rebuild of reference include/misSamplingFunctions.h: `powerHeuristics`
+(:12-16), `MIS` (:19-93) and `MISv2` (:96-170). One implementation serves
+both — MISv2 is MIS with the light-strategy contribution multiplied by the
+medium transmittance from the shading point to the light center (:107).
+
+Vectorization: the reference's for-each-light loop becomes a (N, S) batch —
+every lane samples a cone toward every spherical emitter at once, and the
+masked sum over S replaces the loop. The BSDF strategy computes all three
+material lobes per lane and selects by material code.
+
+Reproduced quirks (each cited):
+  - spherical-light scan keys on radiance.x > 0 only (:106), so an emitter
+    like (0, 16000, 16000) would be skipped by MIS — parity preserved;
+  - the Lambert/dielectric BSDF-strategy weight requires ALL THREE channels
+    of g to be positive (:136, :147) — a (100,100,0) light hit by the BSDF
+    strategy gets weight 0;
+  - microfacet's weight gate is g.x > 0 only (:160).
+
+Documented divergence: in the reference, the dielectric BSDF-strategy weight
+reads `gpdf` left over from the light loop (uninitialized when there are no
+spherical lights, misSamplingFunctions.h:72/149). We use the Fresnel branch
+probability (F or 1-F) actually used to sample the direction — well-defined
+and equal in distribution for the common case.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core import vecmath as vm
+from ..core import rng
+from ..bxdf import dispatch as bx
+from ..bxdf import dielectric as dl
+from ..bxdf import microfacet as mfac
+from ..geometry import intersect as geo
+from ..sampling import directional as ds
+from ..scene.scene import Scene, LAMBERT, MICROFACET, DIELECTRIC
+from . import medium as med
+
+__all__ = ["power_heuristic", "mis", "mis_v2"]
+
+
+def power_heuristic(fpdf, gpdf):
+    """Power heuristic beta=2 (misSamplingFunctions.h:12-16), computed in the
+    overflow-robust form 1/(1 + (g/f)^2): exact for finite inputs and well
+    defined at f or g = +inf (degenerate point-light cones)."""
+    ratio = gpdf / jnp.where(fpdf > 0.0, fpdf, 1.0)
+    return jnp.where(fpdf > 0.0, 1.0 / (1.0 + ratio * ratio), 0.0)
+
+
+def _light_strategy(scene: Scene, obj_id, x, n, wray, alpha, key, sigma_t):
+    """Cone-sample every spherical emitter (muestreoSA -> solidAngle,
+    samplingFunctions.h:238-247 / 163-206), weight against the BSDF pdf."""
+    N = x.shape[0]
+    S = scene.count
+    light_mask = (scene.radius > 0.0) & scene.is_emitter_red()  # (S,)
+
+    u1, u2 = rng.uniform(rng.fold(key, rng.Tag.MIS_LIGHT), (2, N, S))
+    u_flip = rng.uniform(rng.fold(key, rng.Tag.MIS_DIELECTRIC), (N, S))
+
+    cx = scene.center[None, :, :] - x[:, None, :]            # (N, S, 3)
+    normcx = vm.norm(cx)
+    wc = cx / jnp.maximum(normcx, 1e-20)[..., None]
+    ratio = scene.radius[None, :] / jnp.maximum(normcx, 1e-20)
+    cos_max = jnp.sqrt(jnp.maximum(1.0 - ratio * ratio, 0.0))
+    wi = ds.cone(wc, cos_max, u1, u2)                        # (N, S, 3)
+
+    # visibility by id-match (samplingFunctions.h:197-201)
+    hit, _, hit_id = geo.nearest_hit(
+        jnp.broadcast_to(x[:, None, :], wi.shape).reshape(-1, 3),
+        wi.reshape(-1, 3),
+        scene,
+    )
+    s_idx = jnp.broadcast_to(jnp.arange(S)[None, :], (N, S))
+    visible = hit.reshape(N, S) & (hit_id.reshape(N, S) == s_idx)
+    le = jnp.where(visible[..., None], scene.radiance[None, :, :], 0.0)
+
+    obj_b = jnp.broadcast_to(obj_id[:, None], (N, S))
+    fr = bx.eval_fr_nee(scene, obj_b, n[:, None, :], wray[:, None, :], wi)
+    fpdf = ds.cone_pdf(cos_max)
+    f = le * fr * (vm.dot(n[:, None, :], wi) / fpdf)[..., None]
+    if sigma_t is not None:
+        # MISv2's volumetric attenuation of the light strategy (:107)
+        tr = jnp.exp(-sigma_t * normcx)
+        f = f * tr[..., None]
+
+    gpdf = bx.bsdf_pdf_for_direction(
+        scene, obj_b, n[:, None, :], -wray[:, None, :], wi, u_flip
+    )
+    wf = power_heuristic(fpdf, gpdf)
+    contrib = f * wf[..., None]
+    contrib = jnp.where(light_mask[None, :, None], contrib, 0.0)
+    return jnp.sum(contrib, axis=1)                          # (N, 3)
+
+
+def _bsdf_strategy(scene: Scene, obj_id, x, n, wray, alpha, key):
+    """One BSDF-strategy sample, material-dispatched
+    (misSamplingFunctions.h:132-167)."""
+    N = x.shape[0]
+    material = scene.material[obj_id]
+    wo = -wray
+    u1, u2 = rng.uniform(rng.fold(key, rng.Tag.MIS_BSDF), (2, N))
+    u_choice = rng.uniform(rng.fold(key, rng.Tag.BSDF_CHOICE), (N,))
+
+    # --- Lambert: `uniform` (samplingFunctions.h:250-261)
+    wi_l = ds.cosine_hemisphere(n, u1, u2)
+    le_l, sid_l = geo.ray_tracer(x, wi_l, scene)
+    cos_l = vm.dot(n, wi_l)
+    gpdf_l = ds.cosine_hemisphere_pdf(cos_l)
+    g_l = le_l * (scene.albedo[obj_id] / jnp.pi) * (
+        cos_l / jnp.where(gpdf_l != 0.0, gpdf_l, 1e-12)
+    )[..., None]
+
+    # --- Dielectric: `softDielectric` (samplingFunctions.h:209-235)
+    wt = vm.normalize(dl.refract(bx.GLASS_ETA_I, bx.GLASS_ETA_T, wo, n), eps=1e-20)
+    fres = dl.fresnel_dielectric(
+        bx.GLASS_ETA_I, bx.GLASS_ETA_T, vm.dot(n, wt), vm.dot(n, wo)
+    )
+    wr = vm.normalize(dl.reflect(wo, n), eps=1e-20)
+    reflect_branch = u_choice < fres
+    wi_d = jnp.where(reflect_branch[..., None], wr, wt)
+    le_d, sid_d = geo.ray_tracer(x, wi_d, scene)
+    cos_d = jnp.abs(vm.dot(n, wi_d))
+    scale_d = jnp.where(
+        reflect_branch, 1.0, bx.GLASS_ETA_T * bx.GLASS_ETA_T
+    ) / jnp.maximum(cos_d, 1e-12)
+    g_d = le_d * scale_d[..., None]
+    gpdf_d = jnp.where(reflect_branch, fres, 1.0 - fres)
+
+    # --- Microfacet: `microfacet` (samplingFunctions.h:97-118)
+    alpha_o = scene.alpha[obj_id]
+    wh_local = ds.beckmann_half_vector(alpha_o, u1, u2)
+    wo_local = vm.normalize(vm.to_local(n, wo), eps=1e-20)
+    wi_local = -wo_local + wh_local * (2.0 * vm.dot(wh_local, wo_local))[..., None]
+    wi_local = vm.normalize(wi_local, eps=1e-20)
+    wi_m = vm.normalize(vm.from_local(n, wi_local), eps=1e-20)
+    le_m, sid_m = geo.ray_tracer(x, wi_m, scene)
+    n_local = jnp.zeros_like(wi_local).at[..., 2].set(1.0)
+    fr_m = mfac.fr_microfacet(
+        scene.eta[obj_id], scene.kappa[obj_id],
+        wi_local, wh_local, wo_local, alpha_o, n_local,
+    )
+    gpdf_m = mfac.microfacet_pdf(wo_local, wh_local, alpha_o, n_local)
+    g_m = le_m * fr_m * (wi_local[..., 2] / jnp.maximum(gpdf_m, 1e-20))[..., None]
+
+    is_m = material == MICROFACET
+    is_d = material == DIELECTRIC
+    g = jnp.where(is_m[..., None], g_m, jnp.where(is_d[..., None], g_d, g_l))
+    gpdf = jnp.where(is_m, gpdf_m, jnp.where(is_d, gpdf_d, gpdf_l))
+    sid = jnp.where(is_m, sid_m, jnp.where(is_d, sid_d, sid_l))
+
+    # weight gates: all-channels-positive for lambert/dielectric (:136,:147),
+    # red-only for microfacet (:160)
+    pos_all = jnp.all(g > 0.0, axis=-1)
+    gate = jnp.where(is_m, g[..., 0] > 0.0, pos_all)
+    cos_max = geo.cos_theta_max(scene, sid, x)
+    fpdf = ds.cone_pdf(cos_max)
+    wg = jnp.where(gate, power_heuristic(gpdf, fpdf), 0.0)
+    return g * wg[..., None]
+
+
+def mis(scene: Scene, obj_id, x, n, wray, alpha, key, sigma_t=None):
+    """MIS (misSamplingFunctions.h:19-93) when sigma_t is None, else MISv2
+    (:96-170). Returns the combined NEE estimate, (N, 3)."""
+    light = _light_strategy(scene, obj_id, x, n, wray, alpha, key, sigma_t)
+    bsdf = _bsdf_strategy(scene, obj_id, x, n, wray, alpha, key)
+    return light + bsdf
+
+
+def mis_v2(scene: Scene, obj_id, x, n, wray, alpha, key, sigma_t):
+    return mis(scene, obj_id, x, n, wray, alpha, key, sigma_t=sigma_t)
