@@ -1,0 +1,59 @@
+"""Benchmark: camera-paths/sec on the flagship integrator (explicit_free ==
+the reference's active iterativeVPTracerFree) on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline compares against the rebuilt reference renderer's measured CPU
+throughput on this machine (g++ -O3 -fopenmp, 4 threads, 1024x768:
+1024*768*32 spp / 19.09 s = 1.318e6 camera paths/s — see BASELINE.md).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Reference CPU baseline measured on this machine (see BASELINE.md).
+REF_PATHS_PER_SEC = 1.318e6
+
+
+def main():
+    import jax
+    import vpt
+    from vpt.scene.camera import default_camera
+
+    width = int(os.environ.get("BENCH_WIDTH", 1024))
+    height = int(os.environ.get("BENCH_HEIGHT", 1024))
+    spp = int(os.environ.get("BENCH_SPP", 64))
+
+    scene = vpt.cornell_vpt()
+    camera = default_camera()
+    cfg = vpt.RenderConfig(
+        width=width, height=height, spp=spp,
+        integrator="explicit_free", chunk_pixels=65536,
+    )
+
+    # warmup / compile (same shapes as the timed run)
+    img = np.asarray(vpt.render(scene, camera, cfg))
+    assert np.isfinite(img).all(), "non-finite pixels"
+
+    t0 = time.time()
+    img = np.asarray(vpt.render(scene, camera, cfg))
+    dt = time.time() - t0
+
+    n_paths = width * height * spp
+    value = n_paths / dt
+    print(json.dumps({
+        "metric": "render_throughput_fwd",
+        "value": round(value, 1),
+        "unit": "camera_paths/sec/chip",
+        "vs_baseline": round(value / REF_PATHS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

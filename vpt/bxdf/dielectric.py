@@ -39,7 +39,8 @@ def refract(eta_i, eta_t, wi, n, fix_refraction_quirk: bool = False):
     wi_local = vm.to_local(n, wi)
     cos_i = vm.dot(wi, n)
     inv_ratio = eta_i / eta_t
-    s2 = jnp.maximum(1.0 - inv_ratio * inv_ratio * (1.0 - cos_i * cos_i), 0.0)
+    # positive floor keeps sqrt' finite for AD at the TIR boundary
+    s2 = jnp.maximum(1.0 - inv_ratio * inv_ratio * (1.0 - cos_i * cos_i), 1e-12)
     cos_t = jnp.sqrt(s2)
     if fix_refraction_quirk:
         # Proper Snell refraction: tangential scaled by eta_i/eta_t and

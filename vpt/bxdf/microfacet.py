@@ -28,11 +28,13 @@ def fresnel_conductor(cos_wh, eta, kappa):
     Returns (..., 3).
     """
     cos = cos_wh[..., None]
-    sin2 = jnp.maximum(1.0 - cos * cos, 0.0)
+    # positive floors keep sqrt' finite for reverse-mode AD at cos == +-1
+    sin2 = jnp.maximum(1.0 - cos * cos, 1e-12)
     sin = jnp.sqrt(sin2)
     e2k2 = eta * eta - kappa * kappa - sin2
-    a2b2 = jnp.sqrt(e2k2 * e2k2 + 4.0 * (eta * eta) * (kappa * kappa))
-    a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + eta * eta - kappa * kappa - sin2), 0.0))
+    a2b2 = jnp.sqrt(jnp.maximum(
+        e2k2 * e2k2 + 4.0 * (eta * eta) * (kappa * kappa), 1e-12))
+    a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + eta * eta - kappa * kappa - sin2), 1e-12))
     perp = (a2b2 + cos * cos - 2.0 * a * cos) / (a2b2 + cos * cos + 2.0 * a * cos)
     sin4 = sin2 * sin2
     par = perp * (a2b2 * cos * cos + sin4 - 2.0 * a * cos * sin2) / (
@@ -45,8 +47,12 @@ def ndf_beckmann(cosine, alpha):
     """Beckmann NDF of cos(theta_h) (microFacetUtilities.h:34-45); 0 for
     back-facing half vectors."""
     c2 = cosine * cosine
-    safe_c2 = jnp.maximum(c2, 1e-12)
-    a2 = jnp.maximum(alpha * alpha, 1e-12)
+    # Floors sized so denom^2 in the division VJP stays f32-representable
+    # (pi*a2*c2^2 >= ~3e-16): with 1e-12 floors, denom^2 underflows to 0 and
+    # reverse-mode AD produces 0/0. NDF values are unaffected — exp(-tan2/a2)
+    # is already exactly 0 wherever the floors bind.
+    safe_c2 = jnp.maximum(c2, 1e-4)
+    a2 = jnp.maximum(alpha * alpha, 1e-8)
     tan2 = jnp.maximum(1.0 - c2, 0.0) / safe_c2
     val = jnp.exp(-tan2 / a2) / (math.pi * a2 * safe_c2 * safe_c2)
     return jnp.where(cosine >= 0.0, val, 0.0)
@@ -56,11 +62,11 @@ def g1_beckmann(n, wv, wh, alpha):
     """Smith G1 with the Schlick-Beckmann rational fit for a < 1.6
     (microFacetUtilities.h:47-61)."""
     cos = vm.dot(n, wv)
-    sin = jnp.sqrt(jnp.maximum(1.0 - cos * cos, 0.0))
+    sin = jnp.sqrt(jnp.maximum(1.0 - cos * cos, 1e-12))
     tan = sin / jnp.where(cos != 0.0, cos, 1e-12)
     # a = 1/(alpha*tan), sign of tan preserved like the reference; tan == 0
     # (normal incidence) gives a -> +inf -> G = 1.
-    a = 1.0 / (jnp.maximum(alpha, 1e-12) * jnp.where(tan != 0.0, tan, 1e-12))
+    a = 1.0 / (jnp.maximum(alpha, 1e-6) * jnp.where(tan != 0.0, tan, 1e-12))
     rational = (3.535 * a + 2.181 * a * a) / (1.0 + 2.276 * a + 2.577 * a * a)
     g = jnp.where(a < 1.6, rational, 1.0)
     same_side = (vm.dot(wv, wh) / jnp.where(cos != 0.0, cos, 1e-12)) > 0.0

@@ -1,0 +1,14 @@
+"""Distributed layer: device mesh, sharded rendering, SPMD training.
+
+See SURVEY.md §2.12 — the reference's only parallelism is one OpenMP row
+loop; this package is its TPU-native replacement (jax.sharding Mesh +
+shard_map + XLA collectives over ICI).
+"""
+from .mesh import DATA_AXIS, SAMPLE_AXIS, make_mesh, mesh_shape_for
+from .sharded import render_sharded
+from .train import apply_params, fit, make_train_step, scene_params
+
+__all__ = [
+    "DATA_AXIS", "SAMPLE_AXIS", "make_mesh", "mesh_shape_for",
+    "render_sharded", "scene_params", "apply_params", "make_train_step", "fit",
+]

@@ -75,7 +75,13 @@ def sphere_roots(o: jnp.ndarray, d: jnp.ndarray, scene: Scene):
     perp = oc - b[..., None] * d[:, None, :]
     disc = scene.radius[None, :] ** 2 - vm.norm2(perp)     # (N, S)
     has_det = disc >= 0.0
-    s = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # double-where keeps reverse-mode AD NaN-free: sqrt' at 0 is inf, and a
+    # missed sphere would otherwise contribute inf * 0 to the cotangent.
+    # Strictly positive guard: disc == 0 happens EXACTLY for shadow rays
+    # aimed at an r == 0 point light (the ray passes through the center), and
+    # sqrt' at 0 is inf even when the primal is fine.
+    pos = disc > 0.0
+    s = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
     # Stable root pairing: q is the well-conditioned root, the other is c0/q.
     # (sign must never be 0 — a ray from the exact center has b == 0.)
     sgn = jnp.where(b >= 0.0, 1.0, -1.0)
@@ -197,4 +203,5 @@ def cos_theta_max(scene: Scene, source_id: jnp.ndarray, x: jnp.ndarray) -> jnp.n
     cx = scene.center[source_id] - x
     n2 = vm.norm2(cx)
     ratio2 = (r * r) / jnp.maximum(n2, 1e-20)
-    return jnp.sqrt(jnp.maximum(1.0 - ratio2, 0.0))
+    # floor keeps sqrt' finite for AD at ratio >= 1 (point inside the light)
+    return jnp.sqrt(jnp.maximum(1.0 - ratio2, 1e-12))

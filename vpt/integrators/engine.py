@@ -89,19 +89,17 @@ def init_state(o: jnp.ndarray, d: jnp.ndarray) -> PathState:
 
 def pick_light(scene: Scene, u: jnp.ndarray):
     """Uniform pick among emitters in scene order — the arr[]/count idiom of
-    every volume integrator (e.g. vptShadeMethods.h:1293-1303). Returns
-    (idsource (N,), prob_source scalar, has_lights scalar bool)."""
-    em = scene.is_emitter()                                  # (S,)
-    count = jnp.sum(em.astype(jnp.int32))
-    has_lights = count > 0
-    safe_count = jnp.maximum(count, 1)
-    k = jnp.clip((u * safe_count).astype(jnp.int32), 0, safe_count - 1)
-    csum = jnp.cumsum(em.astype(jnp.int32))                  # (S,)
-    # index of the (k+1)-th emitter
-    match = em[None, :] & (csum[None, :] == (k[:, None] + 1))
-    idsource = jnp.argmax(match, axis=-1).astype(jnp.int32)
-    prob_source = 1.0 / safe_count.astype(scene.radius.dtype)
-    return idsource, prob_source, has_lights
+    every volume integrator (e.g. vptShadeMethods.h:1293-1303). The emitter
+    set is static scene structure (Scene.emitter_idx), so the pick is one
+    cheap gather instead of a per-bounce scan over all spheres. Returns
+    (idsource (N,), prob_source float, has_lights bool) — the latter two are
+    Python constants baked into the trace."""
+    count = len(scene.emitter_idx)
+    if count == 0:
+        return jnp.zeros(u.shape, jnp.int32), 1.0, False
+    k = jnp.clip((u * count).astype(jnp.int32), 0, count - 1)
+    idsource = jnp.asarray(scene.emitter_idx, jnp.int32)[k]
+    return idsource, 1.0 / count, True
 
 
 def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState) -> PathState:
@@ -131,7 +129,8 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState) 
     # --- light pick (uniform over emitters)
     u_pick = rng.uniform(rng.fold(kb, rng.Tag.LIGHT_PICK), (N,), dtype)
     idsource, prob_source, has_lights = pick_light(scene, u_pick)
-    alive = alive & has_lights
+    if not has_lights:
+        alive = alive & False
     light_center = scene.center[idsource]                    # (N, 3)
 
     # --- distance sampling & surface/medium event

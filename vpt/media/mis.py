@@ -44,27 +44,41 @@ __all__ = ["power_heuristic", "mis", "mis_v2"]
 def power_heuristic(fpdf, gpdf):
     """Power heuristic beta=2 (misSamplingFunctions.h:12-16), computed in the
     overflow-robust form 1/(1 + (g/f)^2): exact for finite inputs and well
-    defined at f or g = +inf (degenerate point-light cones)."""
-    ratio = gpdf / jnp.where(fpdf > 0.0, fpdf, 1.0)
-    return jnp.where(fpdf > 0.0, 1.0 / (1.0 + ratio * ratio), 0.0)
+    defined at f or g = +inf (degenerate point-light cones). Both pdfs are
+    clamped to a huge-but-finite ceiling so reverse-mode AD through the
+    weight stays NaN-free (the clamp region has zero gradient; the weight is
+    already saturated at 0/1 there)."""
+    f = jnp.clip(fpdf, 0.0, 1e12)
+    g = jnp.clip(gpdf, 0.0, 1e12)
+    ratio = g / jnp.where(f > 0.0, f, 1.0)
+    return jnp.where(f > 0.0, 1.0 / (1.0 + ratio * ratio), 0.0)
 
 
 def _light_strategy(scene: Scene, obj_id, x, n, wray, alpha, key, sigma_t):
     """Cone-sample every spherical emitter (muestreoSA -> solidAngle,
-    samplingFunctions.h:238-247 / 163-206), weight against the BSDF pdf."""
+    samplingFunctions.h:238-247 / 163-206), weight against the BSDF pdf.
+
+    The emitter set is the STATIC Scene.mis_light_idx (r > 0 &&
+    radiance.x > 0, the reference's per-bounce scan condition at
+    misSamplingFunctions.h:106) — so the batch is (N, L) with L = actual
+    spherical emitters, not (N, S) over every sphere, and degenerate r == 0
+    cones never enter the math (they would poison reverse-mode AD with
+    inf*0 NaNs)."""
+    L = len(scene.mis_light_idx)
+    if L == 0:
+        return jnp.zeros_like(x)
     N = x.shape[0]
-    S = scene.count
-    light_mask = (scene.radius > 0.0) & scene.is_emitter_red()  # (S,)
+    lidx = jnp.asarray(scene.mis_light_idx, jnp.int32)       # (L,)
 
-    u1, u2 = rng.uniform(rng.fold(key, rng.Tag.MIS_LIGHT), (2, N, S))
-    u_flip = rng.uniform(rng.fold(key, rng.Tag.MIS_DIELECTRIC), (N, S))
+    u1, u2 = rng.uniform(rng.fold(key, rng.Tag.MIS_LIGHT), (2, N, L))
+    u_flip = rng.uniform(rng.fold(key, rng.Tag.MIS_DIELECTRIC), (N, L))
 
-    cx = scene.center[None, :, :] - x[:, None, :]            # (N, S, 3)
+    cx = scene.center[lidx][None, :, :] - x[:, None, :]      # (N, L, 3)
     normcx = vm.norm(cx)
     wc = cx / jnp.maximum(normcx, 1e-20)[..., None]
-    ratio = scene.radius[None, :] / jnp.maximum(normcx, 1e-20)
-    cos_max = jnp.sqrt(jnp.maximum(1.0 - ratio * ratio, 0.0))
-    wi = ds.cone(wc, cos_max, u1, u2)                        # (N, S, 3)
+    ratio = scene.radius[lidx][None, :] / jnp.maximum(normcx, 1e-20)
+    cos_max = jnp.sqrt(jnp.maximum(1.0 - ratio * ratio, 1e-12))
+    wi = ds.cone(wc, cos_max, u1, u2)                        # (N, L, 3)
 
     # visibility by id-match (samplingFunctions.h:197-201)
     hit, _, hit_id = geo.nearest_hit(
@@ -72,11 +86,10 @@ def _light_strategy(scene: Scene, obj_id, x, n, wray, alpha, key, sigma_t):
         wi.reshape(-1, 3),
         scene,
     )
-    s_idx = jnp.broadcast_to(jnp.arange(S)[None, :], (N, S))
-    visible = hit.reshape(N, S) & (hit_id.reshape(N, S) == s_idx)
-    le = jnp.where(visible[..., None], scene.radiance[None, :, :], 0.0)
+    visible = hit.reshape(N, L) & (hit_id.reshape(N, L) == lidx[None, :])
+    le = jnp.where(visible[..., None], scene.radiance[lidx][None, :, :], 0.0)
 
-    obj_b = jnp.broadcast_to(obj_id[:, None], (N, S))
+    obj_b = jnp.broadcast_to(obj_id[:, None], (N, L))
     fr = bx.eval_fr_nee(scene, obj_b, n[:, None, :], wray[:, None, :], wi)
     fpdf = ds.cone_pdf(cos_max)
     f = le * fr * (vm.dot(n[:, None, :], wi) / fpdf)[..., None]
@@ -89,9 +102,7 @@ def _light_strategy(scene: Scene, obj_id, x, n, wray, alpha, key, sigma_t):
         scene, obj_b, n[:, None, :], -wray[:, None, :], wi, u_flip
     )
     wf = power_heuristic(fpdf, gpdf)
-    contrib = f * wf[..., None]
-    contrib = jnp.where(light_mask[None, :, None], contrib, 0.0)
-    return jnp.sum(contrib, axis=1)                          # (N, 3)
+    return jnp.sum(f * wf[..., None], axis=1)                # (N, 3)
 
 
 def _bsdf_strategy(scene: Scene, obj_id, x, n, wray, alpha, key):

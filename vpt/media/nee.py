@@ -64,7 +64,7 @@ def _sphere_light_single_scatter(scene: Scene, xt, idsource, sigma_t, u1, u2):
     wc_mag = vm.norm(wc)
     wc = wc / jnp.maximum(wc_mag, 1e-20)[..., None]
     ratio = scene.radius[idsource] / jnp.maximum(wc_mag, 1e-20)
-    cos_max = jnp.sqrt(jnp.maximum(1.0 - ratio * ratio, 0.0))
+    cos_max = jnp.sqrt(jnp.maximum(1.0 - ratio * ratio, 1e-12))
     wl = ds.cone(wc, cos_max, u1, u2)
     prob_wl = ds.cone_pdf(cos_max)
     hit, t, hit_id = geo.nearest_hit(xt, wl, scene)

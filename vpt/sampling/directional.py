@@ -62,25 +62,35 @@ def cosine_hemisphere_pdf(cosine):
 
 def cone(wc, cos_theta_max, u1, u2):
     """Uniform cone around wc with half-angle acos(cos_theta_max):
-    theta = acos((1-xi) + xi*cos_theta_max) (samplingFunctions.h:65-82)."""
-    ct = (1.0 - u1) + u1 * cos_theta_max
-    local = spherical_direction(jnp.arccos(jnp.clip(ct, -1.0, 1.0)), TWO_PI * u2)
+    theta = acos((1-xi) + xi*cos_theta_max) (samplingFunctions.h:65-82).
+
+    Built from (cos, sin) directly instead of the reference's acos/cos/sin
+    round-trip: same direction, but reverse-mode AD w.r.t. cos_theta_max
+    stays finite at the cone apex (acos' diverges at 1)."""
+    ct = jnp.clip((1.0 - u1) + u1 * cos_theta_max, -1.0, 1.0)
+    st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 1e-12))
+    phi = TWO_PI * u2
+    local = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], axis=-1)
     return vm.normalize(vm.from_local(wc, local))
 
 
 def cone_pdf(cos_theta_max):
     """pdf = 1 / (2 pi (1 - cos_theta_max)) (samplingFunctions.h:85-87).
 
-    Returns +inf as cos_theta_max -> 1 (degenerate point-light cone), which
-    downstream estimators divide by, yielding exactly the reference's
-    zero-contribution behavior for r == 0 sources
-    (volumetricBasicFunctions.h:315-319 with costheta_max == 1).
+    Divergence (documented): as cos_theta_max -> 1 (degenerate point-light
+    cone) the reference returns +inf and downstream divisions produce the
+    zero contribution for r == 0 sources (volumetricBasicFunctions.h:315-319).
+    We saturate the denominator at 1e-12 instead — the pdf tops out at
+    ~1.6e11, contributions divided by it are still numerically zero, and
+    reverse-mode AD stays NaN-free (inf * 0 would otherwise poison grads).
     """
-    return 1.0 / (TWO_PI * (1.0 - cos_theta_max))
+    return 1.0 / (TWO_PI * jnp.maximum(1.0 - cos_theta_max, 1e-12))
 
 
 def beckmann_half_vector(alpha, u1, u2):
     """Beckmann microfacet half-vector in the LOCAL frame:
     theta = atan(sqrt(-alpha^2 ln(1 - xi))) (microFacetUtilities.h:71-84)."""
-    theta = jnp.arctan(jnp.sqrt(-(alpha * alpha) * jnp.log(jnp.maximum(1.0 - u1, 1e-20))))
+    # inner floor keeps d(sqrt)/d(alpha) finite at u1 == 0 for AD
+    theta = jnp.arctan(jnp.sqrt(jnp.maximum(
+        -(alpha * alpha) * jnp.log(jnp.maximum(1.0 - u1, 1e-20)), 1e-20)))
     return spherical_direction(theta, TWO_PI * u2)

@@ -69,9 +69,11 @@ def equi_angular_params(light_center, o, d, x):
     # clamp x0 into the segment [o, x] (the two sign tests at :186-195)
     x0 = jnp.where((vm.dot(x0 - o, d) < 0.0)[..., None], o, x0)
     x0 = jnp.where((vm.dot(x0 - x, d) > 0.0)[..., None], x, x0)
-    D = vm.norm(x0 - c)
-    a = -vm.norm(x0 - o)
-    b = vm.norm(x - x0)
+    # positive floors: a ray aimed straight at the light gives D == 0 (and
+    # x0 == o gives a == 0), where sqrt' is inf under reverse-mode AD
+    D = jnp.sqrt(jnp.maximum(vm.norm2(x0 - c), 1e-12))
+    a = -jnp.sqrt(jnp.maximum(vm.norm2(x0 - o), 1e-24))
+    b = jnp.sqrt(jnp.maximum(vm.norm2(x - x0), 1e-24))
     return x0, D, jnp.arctan2(a, D), jnp.arctan2(b, D)
 
 

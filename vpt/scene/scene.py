@@ -51,6 +51,15 @@ class Scene:
     kappa: jnp.ndarray      # (S, 3) conductor IOR (imaginary part)
     alpha: jnp.ndarray      # (S,)   Beckmann roughness
     medium: Medium
+    # --- static (trace-time) light structure, computed by make_scene.
+    # Emitter SETS are decided at scene construction; integrators specialize
+    # on them instead of scanning all spheres per bounce (the reference scans
+    # every sphere every bounce, vptShadeMethods.h:1293-1303 — on TPU that
+    # multiplies every NEE/MIS tensor by S for no benefit).
+    emitter_idx: tuple = dataclasses.field(
+        default=(), metadata=dict(static=True))      # any-channel emitters
+    mis_light_idx: tuple = dataclasses.field(
+        default=(), metadata=dict(static=True))      # r > 0 && radiance.x > 0
 
     @property
     def count(self) -> int:
@@ -68,9 +77,10 @@ class Scene:
 
     def astype(self, dtype) -> "Scene":
         f = lambda a: a.astype(dtype)
-        return Scene(
+        return dataclasses.replace(
+            self,
             radius=f(self.radius), center=f(self.center), albedo=f(self.albedo),
-            radiance=f(self.radiance), material=self.material,
+            radiance=f(self.radiance),
             eta=f(self.eta), kappa=f(self.kappa), alpha=f(self.alpha),
             medium=Medium(f(self.medium.sigma_a), f(self.medium.sigma_s)),
         )
@@ -105,12 +115,17 @@ def make_scene(
         eta[i] = e
         kappa[i] = k
         alpha[i] = a
+    emitter_idx = tuple(int(i) for i in np.flatnonzero((radiance > 0).any(-1)))
+    mis_light_idx = tuple(
+        int(i) for i in np.flatnonzero((radiance[:, 0] > 0) & (radius > 0))
+    )
     as_ = lambda a: jnp.asarray(a, dtype)
     return Scene(
         radius=as_(radius), center=as_(center), albedo=as_(albedo),
         radiance=as_(radiance), material=jnp.asarray(material),
         eta=as_(eta), kappa=as_(kappa), alpha=as_(alpha),
         medium=Medium(jnp.asarray(sigma_a, dtype), jnp.asarray(sigma_s, dtype)),
+        emitter_idx=emitter_idx, mis_light_idx=mis_light_idx,
     )
 
 
