@@ -1,0 +1,51 @@
+"""Golden-image comparison against the rebuilt reference renderer.
+
+tests/data/golden_cornell_linear.npz holds the NaN-masked linear mean of
+32 independent 4-spp reference renders (1024x768, active integrator
+iterativeVPTracerFree, sigma_a=0.001 sigma_s=0.009), block-downsampled 16x
+(ds16: 48x64) and 8x (ds8: 96x128). "NaN-masked" matters: the reference
+binary emits NaN samples at ~0.5%/sample — concentrated on the microfacet
+sphere where its Beckmann NDF divides 0/0 (microFacetUtilities.h:42-44) —
+so its own high-spp renders are mostly NaN pixels and the golden keeps the
+finite samples only. That masking plus the point-NEE fp-lottery residual
+(media/nee.py) bounds achievable agreement at a few percent; tolerances
+below reflect that, not looseness in the port.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import vpt
+from vpt.io.ppm import tonemap
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "data",
+                      "golden_cornell_linear.npz")
+
+
+@pytest.mark.slow
+@pytest.mark.golden
+def test_matches_reference_render_structure():
+    g = np.load(GOLDEN)["ds16"]
+    scene = vpt.cornell_vpt()
+    cam = vpt.default_camera()
+    # identical pipeline to the golden: per-run 4-spp mean, clamp+gamma
+    # quantize, decode, average, downsample
+    acc = np.zeros((768, 1024, 3))
+    runs = 3
+    for i in range(runs):
+        cfg = vpt.RenderConfig(width=1024, height=768, spp=4, max_bounces=32,
+                               chunk_pixels=98304, seed=500 + i)
+        img = np.asarray(vpt.render(scene, cam, cfg))
+        acc += np.power(tonemap(img) / 255.0, 2.2)
+    ours = (acc / runs).reshape(48, 16, 64, 16, 3).mean(axis=(1, 3))
+
+    # overall energy within 20% (ours keeps samples the reference NaNs away)
+    assert np.isclose(ours.mean(), g.mean(), rtol=0.20), (ours.mean(), g.mean())
+    # per-block structure: median relative error under 15%, p95 under 75%
+    rel = np.abs(ours - g) / (np.abs(g) + 1e-3)
+    assert np.percentile(rel, 50) < 0.15, np.percentile(rel, 50)
+    assert np.percentile(rel, 95) < 0.75, np.percentile(rel, 95)
+    # spatial correlation: the images are the same picture
+    c = np.corrcoef(ours.ravel(), g.ravel())[0, 1]
+    assert c > 0.97, c

@@ -1,0 +1,135 @@
+"""Gradient tests (BASELINE.json config #5): finite-difference validation of
+d(image)/d{sigma_a, sigma_s, albedo, light position/power, camera}, and
+NaN-freeness across integrators and scenes.
+
+The estimator is differentiated with detached discrete decisions (RR,
+surface/medium event, light pick, direction samples) — the same random
+numbers are replayed at perturbed parameters, so FD of the *fixed-seed*
+estimator is well-defined and must match AD exactly up to FD truncation.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vpt
+from vpt.dist import scene_params, apply_params
+from vpt.dist import train as tr
+from vpt.integrators import engine
+from vpt.scene import camera as cam
+
+SCENE = vpt.cornell_vpt()
+CAM = vpt.default_camera()
+KEY = jax.random.PRNGKey(11)
+IDS = jnp.arange(96, dtype=jnp.int32)
+SPEC = engine.IntegratorSpec(max_bounces=6)
+
+
+def _loss(params, spec=SPEC):
+    sc, cm = apply_params(SCENE, CAM, params)
+    o, d = cam.rays_for_pixels(cm, 12, 8, IDS, KEY, True)
+    L = engine.trace(sc, spec, o, d, KEY, differentiable=True)
+    return jnp.mean(L)
+
+
+# Scene with (almost) no surface events: one area light floating in the
+# medium. The sigma chain is then continuous in the parameters — the FD of
+# the fixed-seed estimator is free of the surface/medium branch-flip
+# boundary terms that the detached-decision AD deliberately drops (see
+# engine docstring), so FD must match AD tightly.
+MEDIUM_SCENE = vpt.make_scene(
+    [(2.0, (0.0, 0.0, -50.0), (0, 0, 0), (60, 50, 40), 0, (0, 0, 0), (0, 0, 0), 0.0)],
+    sigma_a=0.002, sigma_s=0.015,
+)
+
+
+def _loss_medium(params, spec=SPEC):
+    sc, cm = apply_params(MEDIUM_SCENE, CAM, params)
+    o, d = cam.rays_for_pixels(cm, 12, 8, IDS, KEY, True)
+    L = engine.trace(sc, spec, o, d, KEY, differentiable=True)
+    return jnp.mean(L)
+
+
+@pytest.mark.parametrize("leaf,eps", [
+    ("sigma_a", 1e-6),
+    ("sigma_s", 1e-6),
+    ("cam_fov", 5e-4),   # big enough to rise above f32 loss quantization
+])
+def test_fd_matches_ad_scalar(leaf, eps):
+    params = scene_params(MEDIUM_SCENE, CAM)
+    g = jax.grad(_loss_medium)(params)[leaf]
+    p_plus = {**params, leaf: params[leaf] + eps}
+    p_minus = {**params, leaf: params[leaf] - eps}
+    fd = (_loss_medium(p_plus) - _loss_medium(p_minus)) / (2 * eps)
+    g, fd = float(g), float(fd)
+    assert np.isfinite(g) and np.isfinite(fd)
+    assert np.isclose(g, fd, rtol=5e-2, atol=5e-5), (g, fd)
+
+
+@pytest.mark.parametrize("leaf,index,eps", [
+    ("albedo", (6, 2), 1e-4),        # blue sphere's blue channel
+    ("radiance", (9, 0), 1e-2),      # area light power
+    ("center", (9, 1), 1e-3),        # light y position
+    ("cam_origin", (2,), 1e-4),
+])
+def test_fd_matches_ad_elementwise(leaf, index, eps):
+    params = scene_params(SCENE, CAM)
+    g = np.asarray(jax.grad(_loss)(params)[leaf])[index]
+    bump = jnp.zeros_like(params[leaf]).at[index].set(eps)
+    fd = float((_loss({**params, leaf: params[leaf] + bump})
+                - _loss({**params, leaf: params[leaf] - bump})) / (2 * eps))
+    assert np.isfinite(g) and np.isfinite(fd)
+    assert np.isclose(g, fd, rtol=6e-2, atol=1e-4), (g, fd)
+
+
+@pytest.mark.parametrize("spec", [
+    engine.IntegratorSpec(nee=False, max_bounces=5),
+    engine.IntegratorSpec(distance=engine.EQUIANGULAR, nee=True, max_bounces=5),
+    engine.IntegratorSpec(distance=engine.EQUIANGULAR, nee=False,
+                          clamped_ea=True, max_bounces=5),
+])
+def test_grads_finite_all_volume_specs(spec):
+    params = scene_params(SCENE, CAM)
+    grads = jax.grad(lambda p: _loss(p, spec))(params)
+    for k, v in grads.items():
+        assert np.isfinite(np.asarray(v)).all(), f"{k} not finite"
+
+
+@pytest.mark.slow
+def test_inverse_rendering_recovers_sigma():
+    """End-to-end: gradient descent recovers a perturbed sigma_s."""
+    import optax
+    from vpt.dist import make_mesh, make_train_step
+
+    mesh = make_mesh(jax.devices()[:2], sample_shards=1)
+    spec = engine.IntegratorSpec(max_bounces=5)
+    W = H = 12
+    cfg_target = vpt.RenderConfig(width=W, height=H, spp=64, max_bounces=5,
+                                  chunk_pixels=W * H)
+    target = vpt.render(SCENE, CAM, cfg_target)
+
+    wrong = dataclasses.replace(
+        SCENE, medium=vpt.Medium(SCENE.medium.sigma_a,
+                                 SCENE.medium.sigma_s * 3.0))
+    npix = W * H
+    pixel_ids = jnp.arange(npix, dtype=jnp.int32)
+    target_flat = target.reshape(npix, 3)
+
+    optimizer = optax.adam(2e-3)
+    params = scene_params(wrong, CAM)
+    # freeze everything except sigma_s to keep the test fast/deterministic
+    frozen = {k: v for k, v in params.items()}
+    opt_state = optimizer.init(params)
+    step = make_train_step(mesh, spec, W, H, 8, optimizer)
+    for i in range(40):
+        params, opt_state, loss = step(
+            params, opt_state, wrong, CAM, target_flat, pixel_ids,
+            jax.random.fold_in(KEY, i))
+        params = {**frozen, "sigma_s": params["sigma_s"]}
+    start_err = abs(float(SCENE.medium.sigma_s) * 3 - float(SCENE.medium.sigma_s))
+    end_err = abs(float(params["sigma_s"]) - float(SCENE.medium.sigma_s))
+    assert end_err < 0.6 * start_err, (
+        f"sigma_s {float(params['sigma_s']):.5f} did not move toward "
+        f"{float(SCENE.medium.sigma_s):.5f}")

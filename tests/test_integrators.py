@@ -1,0 +1,94 @@
+"""Integrator tests: smoke every registered variant, estimator agreement
+(the reference's own implicit-vs-explicit cross-validation idiom made
+automatic, SURVEY.md §4.2), and basic invariances.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vpt
+from vpt.integrators import ALL_INTEGRATORS
+from vpt.integrators import engine
+from vpt.scene import camera as cam
+
+SCENE = vpt.cornell_vpt()
+CAM = vpt.default_camera()
+
+
+@pytest.mark.parametrize("name", sorted(ALL_INTEGRATORS))
+def test_integrator_smoke(name):
+    cfg = vpt.RenderConfig(width=16, height=12, spp=2, integrator=name,
+                           max_bounces=8, chunk_pixels=192)
+    img = np.asarray(vpt.render(SCENE, CAM, cfg))
+    assert img.shape == (12, 16, 3)
+    assert np.isfinite(img).all(), f"{name} produced non-finite pixels"
+    assert (img >= 0).all(), f"{name} produced negative radiance"
+
+
+def _probe_mean(integrator, spp, max_bounces=24, seed=0):
+    cfg = vpt.RenderConfig(width=24, height=18, spp=spp, integrator=integrator,
+                           max_bounces=max_bounces, chunk_pixels=432, seed=seed)
+    return np.asarray(vpt.render(SCENE, CAM, cfg))
+
+
+@pytest.mark.slow
+def test_estimator_agreement_free():
+    """implicit_free and explicit_free estimate the same integral — the
+    reference keeps the implicit tracers exactly for this comparison
+    (vptShadeMethods.h:815-816, 939)."""
+    a = _probe_mean("explicit_free", spp=96)
+    b = _probe_mean("implicit_free", spp=512)
+    # image means agree within MC error (implicit is high variance)
+    assert np.isclose(a.mean(), b.mean(), rtol=0.25), (a.mean(), b.mean())
+
+
+@pytest.mark.slow
+def test_estimator_agreement_equiangular_vs_free():
+    a = _probe_mean("explicit_free", spp=96)
+    b = _probe_mean("explicit_equiangular", spp=96)
+    assert np.isclose(a.mean(), b.mean(), rtol=0.25), (a.mean(), b.mean())
+
+
+def test_render_deterministic_given_seed():
+    a = _probe_mean("explicit_free", spp=2, seed=3)
+    b = _probe_mean("explicit_free", spp=2, seed=3)
+    assert np.array_equal(a, b)
+    c = _probe_mean("explicit_free", spp=2, seed=4)
+    assert not np.array_equal(a, c)
+
+
+def test_trace_differentiable_path_matches_while_loop():
+    """The reverse-mode-friendly lax.scan trace and the while_loop trace are
+    the same estimator (identical RNG streams)."""
+    key = jax.random.PRNGKey(0)
+    ids = jnp.arange(64, dtype=jnp.int32)
+    o, d = cam.rays_for_pixels(CAM, 8, 8, ids, key, True)
+    spec = engine.IntegratorSpec(max_bounces=12)
+    a = engine.trace(SCENE, spec, o, d, key, differentiable=False)
+    b = engine.trace(SCENE, spec, o, d, key, differentiable=True)
+    assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_no_lights_scene_is_black():
+    dark = dataclasses.replace(
+        SCENE, radiance=jnp.zeros_like(SCENE.radiance),
+        emitter_idx=(), mis_light_idx=())
+    cfg = vpt.RenderConfig(width=8, height=8, spp=2, max_bounces=6,
+                           chunk_pixels=64)
+    img = np.asarray(vpt.render(dark, CAM, cfg))
+    assert np.allclose(img, 0.0)
+
+
+def test_medium_attenuates_vs_vacuum():
+    """Higher sigma_a with fixed sigma_s must darken the image."""
+    from vpt.scene.scene import Medium
+    thin = dataclasses.replace(SCENE, medium=Medium(jnp.asarray(0.0001), jnp.asarray(0.0001)))
+    thick = dataclasses.replace(SCENE, medium=Medium(jnp.asarray(0.02), jnp.asarray(0.0001)))
+    cfg = vpt.RenderConfig(width=16, height=12, spp=32, max_bounces=16,
+                           chunk_pixels=192, integrator="explicit_free")
+    a = np.asarray(vpt.render(thin, CAM, cfg)).mean()
+    b = np.asarray(vpt.render(thick, CAM, cfg)).mean()
+    assert b < a

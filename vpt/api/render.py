@@ -16,14 +16,18 @@ import jax.numpy as jnp
 from ..core import rng
 from ..integrators import engine
 from ..integrators.volume import VOLUME_INTEGRATORS
+from ..integrators.surface import SURFACE_INTEGRATORS, trace_surface
+from ..integrators.raymarch import RAYMARCH_INTEGRATORS, trace_raymarch
 from ..scene import camera as cam
 from ..scene.scene import Scene
 from .config import RenderConfig
 
-__all__ = ["render", "trace_rays", "resolve_spec"]
+__all__ = ["render", "trace_rays", "resolve_spec", "resolve_tracer"]
 
 
 def resolve_spec(cfg: RenderConfig) -> engine.IntegratorSpec:
+    """Resolve a VOLUME integrator spec (cfg knobs applied). Surface/marcher
+    integrators carry their own fixed parameters — see resolve_tracer."""
     try:
         spec = VOLUME_INTEGRATORS[cfg.integrator]
     except KeyError:
@@ -40,6 +44,25 @@ def resolve_spec(cfg: RenderConfig) -> engine.IntegratorSpec:
     )
 
 
+def resolve_tracer(integrator: str, continue_prob: float, max_bounces: int):
+    """(family, spec, trace_fn) for any registered integrator name."""
+    if integrator in VOLUME_INTEGRATORS:
+        s = VOLUME_INTEGRATORS[integrator]
+        spec = engine.IntegratorSpec(
+            distance=s.distance, nee=s.nee, clamped_ea=s.clamped_ea,
+            continue_prob=continue_prob, max_bounces=max_bounces,
+        )
+        return "volume", spec, engine.trace
+    if integrator in SURFACE_INTEGRATORS:
+        return "surface", SURFACE_INTEGRATORS[integrator], trace_surface
+    if integrator in RAYMARCH_INTEGRATORS:
+        return "raymarch", RAYMARCH_INTEGRATORS[integrator], trace_raymarch
+    raise ValueError(
+        f"unknown integrator {integrator!r}; available: "
+        f"{sorted({**VOLUME_INTEGRATORS, **SURFACE_INTEGRATORS, **RAYMARCH_INTEGRATORS})}"
+    )
+
+
 def trace_rays(scene: Scene, spec: engine.IntegratorSpec, o, d, key,
                differentiable: bool = False):
     """Trace a flat ray batch; thin alias of the engine entry point."""
@@ -49,8 +72,8 @@ def trace_rays(scene: Scene, spec: engine.IntegratorSpec, o, d, key,
 @partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "spp", "chunk", "jitter", "distance", "nee",
-        "clamped_ea", "continue_prob", "max_bounces", "differentiable",
+        "width", "height", "spp", "chunk", "jitter", "integrator",
+        "continue_prob", "max_bounces", "differentiable",
     ),
 )
 def _render_flat(
@@ -63,17 +86,12 @@ def _render_flat(
     spp: int,
     chunk: int,
     jitter: bool,
-    distance: str,
-    nee: bool,
-    clamped_ea: bool,
+    integrator: str,
     continue_prob: float,
     max_bounces: int,
     differentiable: bool,
 ):
-    spec = engine.IntegratorSpec(
-        distance=distance, nee=nee, clamped_ea=clamped_ea,
-        continue_prob=continue_prob, max_bounces=max_bounces,
-    )
+    _, spec, trace_fn = resolve_tracer(integrator, continue_prob, max_bounces)
     npix = width * height
     n_chunks = -(-npix // chunk)
     padded = n_chunks * chunk
@@ -87,13 +105,14 @@ def _render_flat(
         valid = ids < npix
         ids_c = jnp.minimum(ids, npix - 1)
         o, d = cam.rays_for_pixels(camera, width, height, ids_c, step_key, jitter)
-        radiance = engine.trace(
+        radiance = trace_fn(
             scene, spec, o, d, step_key, differentiable=differentiable
         )
         radiance = jnp.where(valid[:, None], radiance, 0.0)
+        zero = jnp.zeros((), base.dtype)   # match index dtypes under x64
         acc = jax.lax.dynamic_update_slice(
-            acc, jax.lax.dynamic_slice(acc, (base, 0), (chunk, 3)) + radiance,
-            (base, 0),
+            acc, jax.lax.dynamic_slice(acc, (base, zero), (chunk, 3)) + radiance,
+            (base, zero),
         )
         return acc, None
 
@@ -108,14 +127,13 @@ def render(scene: Scene, camera: cam.Camera, cfg: RenderConfig,
     without the clamp — tone mapping lives in vpt.io)."""
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
-    spec = resolve_spec(cfg)
     flat = _render_flat(
         scene, camera, key,
         width=cfg.width, height=cfg.height, spp=cfg.spp,
         chunk=min(cfg.chunk_pixels, cfg.width * cfg.height),
         jitter=cfg.jitter,
-        distance=spec.distance, nee=spec.nee, clamped_ea=spec.clamped_ea,
-        continue_prob=spec.continue_prob, max_bounces=spec.max_bounces,
+        integrator=cfg.integrator,
+        continue_prob=cfg.continue_prob, max_bounces=cfg.max_bounces,
         differentiable=differentiable,
     )
     return flat.reshape(cfg.height, cfg.width, 3)

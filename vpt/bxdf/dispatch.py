@@ -78,14 +78,19 @@ def sample_bsdf(scene: Scene, sphere_id, wray, n, u_choice, u1, u2):
     return fs, wi, pdf
 
 
-def bsdf_pdf_for_direction(scene: Scene, sphere_id, n, wo, wi, u_flip):
+def bsdf_pdf_for_direction(scene: Scene, sphere_id, n, wo, wi, u_flip,
+                           alpha=None):
     """gpdf of the BSDF strategy for a LIGHT-sampled direction wi — the
     material dispatch inside MIS's light loop (misSamplingFunctions.h:109-123).
 
     u_flip is the erand48 draw of the dielectric branch
-    (misSamplingFunctions.h:115: if u > F then gpdf = 1 - F).
+    (misSamplingFunctions.h:115: if u > F then gpdf = 1 - F). `alpha`
+    overrides per-sphere roughness (reference passes its own alpha arg,
+    misSamplingFunctions.h:45).
     """
     material = scene.material[sphere_id]
+    if alpha is None:
+        alpha = scene.alpha[sphere_id]
     # Lambert
     pdf_l = ds.cosine_hemisphere_pdf(vm.dot(n, wi))
     # Dielectric: Fresnel of the REFRACTED observation direction
@@ -94,21 +99,25 @@ def bsdf_pdf_for_direction(scene: Scene, sphere_id, n, wo, wi, u_flip):
     pdf_d = jnp.where(u_flip > fres, 1.0 - fres, fres)
     # Microfacet: half vector of (wi, wo), global frame
     wh = vm.normalize(wi + wo, eps=1e-20)
-    pdf_m = mf.microfacet_pdf(wo, wh, scene.alpha[sphere_id], n)
+    pdf_m = mf.microfacet_pdf(wo, wh, alpha, n)
     return jnp.where(
         material == MICROFACET, pdf_m, jnp.where(material == DIELECTRIC, pdf_d, pdf_l)
     )
 
 
-def eval_fr_nee(scene: Scene, sphere_id, n, wray, wi):
+def eval_fr_nee(scene: Scene, sphere_id, n, wray, wi, alpha=None):
     """fr for a light-sampled direction at a surface point, evaluated in the
     LOCAL frame like the reference's cone-sampling shader
     (samplingFunctions.h:163-194): Lambert albedo/pi; dielectric -> 0 (a
     delta lobe can never be hit by light sampling, samplingFunctions.h:190-193);
-    microfacet via local-frame Cook-Torrance.
+    microfacet via local-frame Cook-Torrance. `alpha` overrides the
+    per-sphere roughness (the legacy surface tracers pass hardcoded values,
+    e.g. src/rt.cpp:73).
     """
     material = scene.material[sphere_id]
     fr_l = scene.albedo[sphere_id] * (1.0 / math.pi)
+    if alpha is None:
+        alpha = scene.alpha[sphere_id]
 
     wi_local = vm.normalize(vm.to_local(n, wi), eps=1e-20)
     wo_local = vm.normalize(vm.to_local(n, -wray), eps=1e-20)
@@ -116,7 +125,7 @@ def eval_fr_nee(scene: Scene, sphere_id, n, wray, wi):
     n_local = jnp.zeros_like(wi_local).at[..., 2].set(1.0)
     fr_m = mf.fr_microfacet(
         scene.eta[sphere_id], scene.kappa[sphere_id],
-        wi_local, wh, wo_local, scene.alpha[sphere_id], n_local,
+        wi_local, wh, wo_local, alpha, n_local,
     )
     is_m = (material == MICROFACET)[..., None]
     is_d = (material == DIELECTRIC)[..., None]

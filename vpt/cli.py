@@ -1,0 +1,99 @@
+"""Command-line driver.
+
+Replaces the reference's `main` (src/rt.cpp:744-830). Compatible minimal
+form mirrors `./rt <spp>`: render the active scene at 1024x768 with the
+active integrator and write `image.ppm`, printing the elapsed wall clock
+(src/rt.cpp:824-827). Everything the reference hardcodes (resolution
+src/rt.cpp:752, camera :755-759, sigma :794, scene Sphere.cpp:7-23,
+integrator :791-796) is a flag here.
+
+Usage:
+  python -m vpt.cli 64                       # reference-style: spp only
+  python -m vpt.cli --spp 64 --width 512 --height 512 \
+      --integrator explicit_equiangular --scene simple_cornell -o out.ppm
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="vpt", description=__doc__)
+    p.add_argument("spp_pos", nargs="?", type=int, default=None,
+                   help="samples per pixel (positional, reference-style argv[1])")
+    p.add_argument("--spp", type=int, default=16)
+    p.add_argument("--width", type=int, default=1024)    # src/rt.cpp:752
+    p.add_argument("--height", type=int, default=768)
+    p.add_argument("--integrator", default="explicit_free")
+    p.add_argument("--scene", default="cornell_vpt")
+    p.add_argument("--sigma-a", type=float, default=0.001)  # src/rt.cpp:794
+    p.add_argument("--sigma-s", type=float, default=0.009)
+    p.add_argument("--max-bounces", type=int, default=32)
+    p.add_argument("--continue-prob", type=float, default=0.6)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--chunk-pixels", type=int, default=65536)
+    p.add_argument("--no-jitter", action="store_true")
+    p.add_argument("-o", "--output", default="image.ppm")
+    p.add_argument("--sharded", action="store_true",
+                   help="render over all local devices via the (data,sample) mesh")
+    p.add_argument("--checkpoint", default=None,
+                   help="progressive accumulation checkpoint path (resume if exists)")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="save the accumulator every N spp (0 = only at end)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.spp_pos is not None:
+        args.spp = args.spp_pos
+
+    import vpt
+    from vpt.io.ppm import write_ppm
+    from vpt.scene.scene import SCENES
+
+    scene = SCENES[args.scene]()
+    import dataclasses as _dc
+    from vpt.scene.scene import Medium
+    import jax.numpy as jnp
+    scene = _dc.replace(
+        scene,
+        medium=Medium(jnp.asarray(args.sigma_a, scene.radius.dtype),
+                      jnp.asarray(args.sigma_s, scene.radius.dtype)),
+    )
+    camera = vpt.default_camera()
+    cfg = vpt.RenderConfig(
+        width=args.width, height=args.height, spp=args.spp,
+        integrator=args.integrator, max_bounces=args.max_bounces,
+        continue_prob=args.continue_prob, seed=args.seed,
+        chunk_pixels=args.chunk_pixels, jitter=not args.no_jitter,
+    )
+
+    t0 = time.time()
+    if args.checkpoint:
+        from vpt.utils.checkpoint import render_progressive
+        img = render_progressive(
+            scene, camera, cfg, args.checkpoint,
+            checkpoint_every=args.checkpoint_every,
+        )
+    elif args.sharded:
+        from vpt.dist import make_mesh, render_sharded
+        img = np.asarray(render_sharded(scene, camera, cfg, make_mesh()))
+    else:
+        img = np.asarray(vpt.render(scene, camera, cfg))
+    elapsed = time.time() - t0
+
+    write_ppm(args.output, img)
+    n_paths = args.width * args.height * args.spp
+    # reference prints "elapsed time: <s>s" (src/rt.cpp:824-827)
+    print(f"elapsed time: {elapsed:.5g}s  "
+          f"({n_paths / max(elapsed, 1e-9):.3e} paths/s)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -37,16 +37,21 @@ def shard_trace_fn(spec: engine.IntegratorSpec, width: int, height: int,
     def body(scene: Scene, camera: cam.Camera, key, pixel_ids):
         sidx = jax.lax.axis_index(SAMPLE_AXIS)
         kshard = rng.fold(key, sidx)
+        # promote to varying over BOTH mesh axes (camera origin is replicated;
+        # pixel ids vary only over data) so the scan carry type is stable
+        vary = (jax.lax.axis_index(DATA_AXIS) + sidx).astype(
+            scene.radius.dtype) * 0.0
 
         def one_sample(acc, s):
             ks = rng.fold(kshard, s)
             o, d = cam.rays_for_pixels(camera, width, height, pixel_ids, ks, jitter)
-            L = engine.trace(scene, spec, o, d, ks, differentiable=True)
+            L = engine.trace(scene, spec, o + vary, d + vary, ks,
+                             differentiable=True)
             return acc + L, None
 
         acc, _ = jax.lax.scan(
             one_sample,
-            jnp.zeros((pixel_ids.shape[0], 3), scene.radius.dtype),
+            jnp.zeros((pixel_ids.shape[0], 3), scene.radius.dtype) + vary,
             jnp.arange(spp_per_shard, dtype=jnp.int32),
         )
         est = acc / spp_per_shard

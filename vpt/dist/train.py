@@ -95,6 +95,8 @@ def make_train_step(
     def shard_body(params, opt_state, scene, camera, target, pixel_ids, key):
         sidx = jax.lax.axis_index(SAMPLE_AXIS)
         kshard = rng.fold(key, sidx)
+        vary = (jax.lax.axis_index(DATA_AXIS) + sidx).astype(
+            target.dtype) * 0.0
 
         def loss_fn(params):
             sc, cm = apply_params(scene, camera, params)
@@ -102,12 +104,13 @@ def make_train_step(
             def one_sample(acc, s):
                 ks = rng.fold(kshard, s)
                 o, d = cam.rays_for_pixels(cm, width, height, pixel_ids, ks, True)
-                L = engine.trace(sc, spec, o, d, ks, differentiable=True)
+                L = engine.trace(sc, spec, o + vary, d + vary, ks,
+                                 differentiable=True)
                 return acc + L, None
 
             acc, _ = jax.lax.scan(
                 one_sample,
-                jnp.zeros((pixel_ids.shape[0], 3), target.dtype),
+                jnp.zeros((pixel_ids.shape[0], 3), target.dtype) + vary,
                 jnp.arange(spp_local, dtype=jnp.int32),
             )
             # cross-shard pixel estimate: mean over the sample axis is INSIDE

@@ -61,6 +61,9 @@ class IntegratorSpec:
     clamped_ea: bool = False
     continue_prob: float = 0.6   # RR continue (vptShadeMethods.h:1275)
     max_bounces: int = 32
+    # True disables the reference's missing-else point-NEE overwrite quirk
+    # (see media/nee.py) and restores physical point-light in-scattering.
+    physical_point_nee: bool = False
     # Emitter-hit policy: explicit integrators only credit depth 0
     # (vptShadeMethods.h:1308-1313); implicit ones credit at any depth
     # (vptShadeMethods.h:981-983).
@@ -77,13 +80,15 @@ class PathState:
 
 
 def init_state(o: jnp.ndarray, d: jnp.ndarray) -> PathState:
-    n = o.shape[0]
+    # Derive every leaf from o so that under shard_map the whole carry is
+    # device-varying from the start (a fresh jnp.ones would be replicated and
+    # trip lax.scan's varying-manual-axes carry check).
     return PathState(
         o=o,
         d=d,
-        tp=jnp.ones((n, 3), o.dtype),
-        L=jnp.zeros((n, 3), o.dtype),
-        alive=jnp.ones((n,), bool),
+        tp=jnp.ones_like(o),
+        L=jnp.zeros_like(o),
+        alive=o[..., 0] == o[..., 0],
     )
 
 
@@ -201,7 +206,8 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState) 
             # PBRT cancellation: only sigma_s/sigma_t survives
             # (vptShadeMethods.h:1330-1334)
             ld_med = nee_mod.free_single_scattering(
-                scene, xt, idsource, sigma_t, prob_source, u_c1, u_c2
+                scene, xt, idsource, sigma_t, prob_source, u_c1, u_c2,
+                physical_point_nee=spec.physical_point_nee,
             )
             L = L + jnp.where(
                 medium[:, None], ld_med * st.tp * (albedo_ratio / cp), 0.0
@@ -219,7 +225,7 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState) 
             # (vptShadeMethods.h:1139-1146)
             ld_med = nee_mod.single_scattering(
                 scene, xt, idsource, sigma_t, sigma_s, t_xt, prob_source,
-                u_c1, u_c2,
+                u_c1, u_c2, physical_point_nee=spec.physical_point_nee,
             )
             L = L + jnp.where(
                 medium[:, None], ld_med * st.tp / (pdf_success * cp)[:, None], 0.0

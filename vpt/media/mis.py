@@ -90,7 +90,9 @@ def _light_strategy(scene: Scene, obj_id, x, n, wray, alpha, key, sigma_t):
     le = jnp.where(visible[..., None], scene.radiance[lidx][None, :, :], 0.0)
 
     obj_b = jnp.broadcast_to(obj_id[:, None], (N, L))
-    fr = bx.eval_fr_nee(scene, obj_b, n[:, None, :], wray[:, None, :], wi)
+    alpha_b = jnp.broadcast_to(jnp.asarray(alpha)[..., None], (N, L))
+    fr = bx.eval_fr_nee(scene, obj_b, n[:, None, :], wray[:, None, :], wi,
+                        alpha=alpha_b)
     fpdf = ds.cone_pdf(cos_max)
     f = le * fr * (vm.dot(n[:, None, :], wi) / fpdf)[..., None]
     if sigma_t is not None:
@@ -99,7 +101,8 @@ def _light_strategy(scene: Scene, obj_id, x, n, wray, alpha, key, sigma_t):
         f = f * tr[..., None]
 
     gpdf = bx.bsdf_pdf_for_direction(
-        scene, obj_b, n[:, None, :], -wray[:, None, :], wi, u_flip
+        scene, obj_b, n[:, None, :], -wray[:, None, :], wi, u_flip,
+        alpha=alpha_b,
     )
     wf = power_heuristic(fpdf, gpdf)
     return jnp.sum(f * wf[..., None], axis=1)                # (N, 3)
@@ -139,8 +142,9 @@ def _bsdf_strategy(scene: Scene, obj_id, x, n, wray, alpha, key):
     g_d = le_d * scale_d[..., None]
     gpdf_d = jnp.where(reflect_branch, fres, 1.0 - fres)
 
-    # --- Microfacet: `microfacet` (samplingFunctions.h:97-118)
-    alpha_o = scene.alpha[obj_id]
+    # --- Microfacet: `microfacet` (samplingFunctions.h:97-118); alpha is
+    # the caller-passed roughness like the reference (misSamplingFunctions.h:78)
+    alpha_o = jnp.broadcast_to(jnp.asarray(alpha), obj_id.shape)
     wh_local = ds.beckmann_half_vector(alpha_o, u1, u2)
     wo_local = vm.normalize(vm.to_local(n, wo), eps=1e-20)
     wi_local = -wo_local + wh_local * (2.0 * vm.dot(wh_local, wo_local))[..., None]

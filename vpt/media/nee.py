@@ -57,8 +57,19 @@ def plight(scene: Scene, obj_id, x, n, wray, intensity, light_p, alpha):
 
 def _sphere_light_single_scatter(scene: Scene, xt, idsource, sigma_t, u1, u2):
     """Shared spherical-source cone-sampling branch of both single-scattering
-    estimators (volumetricBasicFunctions.h:251-278 / 310-337). Returns the
-    UNWEIGHTED Ls / prob_wl term (caller applies T*sigma_s and probSource)."""
+    estimators (volumetricBasicFunctions.h:251-278 / 310-337). Returns
+    (contribution, point_killed):
+
+    contribution — the UNWEIGHTED Ls / prob_wl term (caller applies
+    T*sigma_s and probSource).
+
+    point_killed — the reference's missing-else quirk: the cone branch runs
+    UNCONDITIONALLY after the point branch (volumetricBasicFunctions.h:245-251
+    — there is no `else`), so for an r == 0 source the degenerate center ray
+    (cos_theta_max == 1 collapses the cone onto wc) can "hit" the zero-radius
+    sphere and OVERWRITE Ld with Ls/solidAngleProb(1) == Ls/inf == 0 (see the
+    inline comment below for how we reproduce this).
+    """
     center = scene.center[idsource]
     wc = center - xt
     wc_mag = vm.norm(wc)
@@ -72,7 +83,20 @@ def _sphere_light_single_scatter(scene: Scene, xt, idsource, sigma_t, u1, u2):
     le = scene.radiance[idsource]
     ls = le * (jnp.exp(-sigma_t * t) * med.INV_4PI)[..., None]
     contrib = ls / jnp.maximum(prob_wl, 1e-20)[..., None]
-    return jnp.where(visible[..., None], contrib, 0.0)
+
+    # For r == 0 the reference's cone collapses onto wc EXACTLY and its
+    # cancellation-prone det = (oc.wc)^2 - oc.oc (Sphere.h:30) rounds >= 0
+    # ~87% of the time (measured against the rebuilt binary with a
+    # deterministic RNG probe), overwriting the point value with Ls/inf == 0.
+    # The coin's per-sample outcome is pure fp rounding noise and cannot be
+    # replayed faithfully through XLA (it even differs between eager and
+    # jitted evaluation of the same f64 expression), so we take the dominant
+    # branch deterministically: the point contribution is killed whenever the
+    # degenerate ray would reach the light (distance above the reference's
+    # 1e-4 validity epsilon, Sphere.h:34). Documented divergence: the
+    # reference retains ~13% of this term as fp-lottery noise; we retain 0%.
+    point_killed = wc_mag > geo.EPS_T
+    return jnp.where(visible[..., None], contrib, 0.0), point_killed
 
 
 def _point_light_single_scatter(scene: Scene, xt, idsource, sigma_t):
@@ -86,26 +110,39 @@ def _point_light_single_scatter(scene: Scene, xt, idsource, sigma_t):
     return jnp.where(vis[..., None], ls, 0.0)
 
 
-def single_scattering(scene: Scene, xt, idsource, sigma_t, sigma_s,
-                      transmittance_xt, prob_source, u1, u2):
-    """NEE from a medium point with explicit T * sigma_s weighting — the
-    equi-angular-family estimator (volumetricBasicFunctions.h:225-281)."""
+def _combine_point_sphere(scene: Scene, xt, idsource, sigma_t, u1, u2,
+                          physical_point_nee: bool = False):
+    """Reference branch combination incl. the missing-else overwrite: for
+    r == 0 sources the point value survives ONLY when the degenerate cone
+    ray misses the point sphere (see _sphere_light_single_scatter).
+    physical_point_nee=True disables the overwrite quirk — the physically
+    intended if/else the reference author evidently meant to write."""
     is_point = scene.radius[idsource] == 0.0
     point = _point_light_single_scatter(scene, xt, idsource, sigma_t)
-    sphere = _sphere_light_single_scatter(scene, xt, idsource, sigma_t, u1, u2)
-    ls = jnp.where(is_point[..., None], point, sphere)
+    sphere, point_killed = _sphere_light_single_scatter(
+        scene, xt, idsource, sigma_t, u1, u2)
+    if not physical_point_nee:
+        point = jnp.where(point_killed[..., None], 0.0, point)
+    return jnp.where(is_point[..., None], point, sphere)
+
+
+def single_scattering(scene: Scene, xt, idsource, sigma_t, sigma_s,
+                      transmittance_xt, prob_source, u1, u2,
+                      physical_point_nee: bool = False):
+    """NEE from a medium point with explicit T * sigma_s weighting — the
+    equi-angular-family estimator (volumetricBasicFunctions.h:225-281)."""
+    ls = _combine_point_sphere(scene, xt, idsource, sigma_t, u1, u2,
+                               physical_point_nee)
     w = jnp.asarray(transmittance_xt * sigma_s / prob_source)
     return ls * w[..., None]
 
 
 def free_single_scattering(scene: Scene, xt, idsource, sigma_t, prob_source,
-                           u1, u2):
+                           u1, u2, physical_point_nee: bool = False):
     """NEE from a medium point WITHOUT the T * sigma_s factor — those cancel
     against the free-flight pdf (the PBRT simplification used by the active
     integrator, volumetricBasicFunctions.h:284-340, vptShadeMethods.h:1248)."""
-    is_point = scene.radius[idsource] == 0.0
-    point = _point_light_single_scatter(scene, xt, idsource, sigma_t)
-    sphere = _sphere_light_single_scatter(scene, xt, idsource, sigma_t, u1, u2)
-    ls = jnp.where(is_point[..., None], point, sphere)
+    ls = _combine_point_sphere(scene, xt, idsource, sigma_t, u1, u2,
+                               physical_point_nee)
     inv_p = jnp.asarray(1.0 / prob_source)
     return ls * inv_p[..., None]

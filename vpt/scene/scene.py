@@ -60,6 +60,8 @@ class Scene:
         default=(), metadata=dict(static=True))      # any-channel emitters
     mis_light_idx: tuple = dataclasses.field(
         default=(), metadata=dict(static=True))      # r > 0 && radiance.x > 0
+    point_idx: tuple = dataclasses.field(
+        default=(), metadata=dict(static=True))      # r == 0 (point sources)
 
     @property
     def count(self) -> int:
@@ -119,6 +121,7 @@ def make_scene(
     mis_light_idx = tuple(
         int(i) for i in np.flatnonzero((radiance[:, 0] > 0) & (radius > 0))
     )
+    point_idx = tuple(int(i) for i in np.flatnonzero(radius == 0))
     as_ = lambda a: jnp.asarray(a, dtype)
     return Scene(
         radius=as_(radius), center=as_(center), albedo=as_(albedo),
@@ -126,6 +129,7 @@ def make_scene(
         eta=as_(eta), kappa=as_(kappa), alpha=as_(alpha),
         medium=Medium(jnp.asarray(sigma_a, dtype), jnp.asarray(sigma_s, dtype)),
         emitter_idx=emitter_idx, mis_light_idx=mis_light_idx,
+        point_idx=point_idx,
     )
 
 
