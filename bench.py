@@ -1,12 +1,17 @@
 """Benchmark: camera-paths/sec on the flagship integrator (explicit_free ==
-the reference's active iterativeVPTracerFree) on one chip.
+the reference's active iterativeVPTracerFree) on one chip, using the
+persistent-wavefront (path-regeneration) renderer.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 vs_baseline compares against the rebuilt reference renderer's measured CPU
-throughput on this machine (g++ -O3 -fopenmp, 4 threads, 1024x768:
-1024*768*32 spp / 19.09 s = 1.318e6 camera paths/s — see BASELINE.md).
+throughput on this machine (g++ -O3 -fopenmp, 4 threads; 1024*768*32 spp in
+19.09 s = 1.318e6 camera paths/s — see BASELINE.md).
+
+Usage: python bench.py [--quick]
+  --quick: 512x512 @ 16 spp (compile-cache-friendly smoke)
+  default: the north-star workload, 1024x1024 @ 64 spp
 """
 from __future__ import annotations
 
@@ -17,24 +22,24 @@ import time
 
 import numpy as np
 
-# Reference CPU baseline measured on this machine (see BASELINE.md).
 REF_PATHS_PER_SEC = 1.318e6
 
 
 def main():
     import jax
     import vpt
-    from vpt.scene.camera import default_camera
 
-    width = int(os.environ.get("BENCH_WIDTH", 1024))
-    height = int(os.environ.get("BENCH_HEIGHT", 1024))
-    spp = int(os.environ.get("BENCH_SPP", 64))
+    quick = "--quick" in sys.argv
+    width = int(os.environ.get("BENCH_WIDTH", 512 if quick else 1024))
+    height = int(os.environ.get("BENCH_HEIGHT", 512 if quick else 1024))
+    spp = int(os.environ.get("BENCH_SPP", 16 if quick else 64))
 
     scene = vpt.cornell_vpt()
-    camera = default_camera()
+    camera = vpt.default_camera()
     cfg = vpt.RenderConfig(
         width=width, height=height, spp=spp,
-        integrator="explicit_free", chunk_pixels=65536,
+        integrator="explicit_free", renderer="persistent",
+        chunk_pixels=262144, max_bounces=32,
     )
 
     # warmup / compile (same shapes as the timed run)
@@ -42,7 +47,8 @@ def main():
     assert np.isfinite(img).all(), "non-finite pixels"
 
     t0 = time.time()
-    img = np.asarray(vpt.render(scene, camera, cfg))
+    img = np.asarray(vpt.render(scene, camera, cfg,
+                                key=jax.random.PRNGKey(1)))
     dt = time.time() - t0
 
     n_paths = width * height * spp

@@ -31,3 +31,7 @@ class RenderConfig:
     chunk_pixels: int = 65536
     dtype: str = "float32"       # "float64" for CPU oracle-parity runs
     jitter: bool = True
+    # "persistent": path-regeneration wavefront (fast, volume integrators
+    # only); "scan": per-sample masked wavefront (all integrators, reverse-
+    # mode friendly); "auto" picks persistent when eligible.
+    renderer: str = "auto"

@@ -120,6 +120,46 @@ def _render_flat(
     return acc[:npix] / spp
 
 
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "chunk", "jitter", "integrator",
+                     "continue_prob", "max_bounces"),
+)
+def _render_persistent_flat(
+    scene: Scene,
+    camera: cam.Camera,
+    key,
+    *,
+    width: int,
+    height: int,
+    spp: int,
+    chunk: int,
+    jitter: bool,
+    integrator: str,
+    continue_prob: float,
+    max_bounces: int,
+):
+    _, spec, _ = resolve_tracer(integrator, continue_prob, max_bounces)
+    npix = width * height
+    n_chunks = -(-npix // chunk)
+    padded = n_chunks * chunk
+    acc = jnp.zeros((padded, 3), scene.radius.dtype)
+
+    def body(acc, c):
+        base = c * chunk
+        ids = jnp.minimum(base + jnp.arange(chunk, dtype=jnp.int32), npix - 1)
+        L = engine.render_persistent(
+            scene, spec, camera, width, height, ids, spp, rng.fold(key, c),
+            jitter=jitter,
+        )
+        zero = jnp.zeros((), base.dtype)
+        acc = jax.lax.dynamic_update_slice(acc, L, (base, zero))
+        return acc, None
+
+    acc, _ = jax.lax.scan(body, acc, jnp.arange(n_chunks, dtype=jnp.int32))
+    return acc[:npix] / spp
+
+
 def render(scene: Scene, camera: cam.Camera, cfg: RenderConfig,
            key=None, differentiable: bool = False) -> jnp.ndarray:
     """Render an (H, W, 3) linear-radiance image, averaged over cfg.spp
@@ -127,6 +167,22 @@ def render(scene: Scene, camera: cam.Camera, cfg: RenderConfig,
     without the clamp — tone mapping lives in vpt.io)."""
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
+    from ..integrators.volume import VOLUME_INTEGRATORS as _VOL
+
+    use_persistent = cfg.renderer == "persistent" or (
+        cfg.renderer == "auto"
+        and not differentiable
+        and cfg.integrator in _VOL
+    )
+    if use_persistent:
+        flat = _render_persistent_flat(
+            scene, camera, key,
+            width=cfg.width, height=cfg.height, spp=cfg.spp,
+            chunk=min(cfg.chunk_pixels, cfg.width * cfg.height),
+            jitter=cfg.jitter, integrator=cfg.integrator,
+            continue_prob=cfg.continue_prob, max_bounces=cfg.max_bounces,
+        )
+        return flat.reshape(cfg.height, cfg.width, 3)
     flat = _render_flat(
         scene, camera, key,
         width=cfg.width, height=cfg.height, spp=cfg.spp,

@@ -107,8 +107,12 @@ def pick_light(scene: Scene, u: jnp.ndarray):
     return idsource, 1.0 / count, True
 
 
-def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState) -> PathState:
-    """Advance every lane one bounce. `bounce` may be traced."""
+def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
+                depth=None) -> PathState:
+    """Advance every lane one bounce. `bounce` may be traced; it keys the
+    iteration's RNG stream. `depth` (N,) overrides the per-lane path depth
+    for the emitter-credit test (persistent wavefront mode, where lanes sit
+    at different depths); default: every lane is at depth `bounce`."""
     sigma_a = scene.medium.sigma_a
     sigma_s = scene.medium.sigma_s
     sigma_t = sigma_a + sigma_s
@@ -164,8 +168,9 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState) 
 
     # --- SURFACE branch ------------------------------------------------
     em_hit = surface_event & scene.is_emitter()[obj_id]
+    depth_v = jnp.asarray(bounce) if depth is None else depth
     if spec.nee:
-        credit = em_hit & (jnp.asarray(bounce) == 0)
+        credit = em_hit & (depth_v == 0)
     else:
         credit = em_hit
     L = st.L + jnp.where(
@@ -274,4 +279,73 @@ def trace(scene: Scene, spec: IntegratorSpec, o, d, key,
         return bounce + 1, bounce_step(scene, spec, bounce, key, st)
 
     _, st = jax.lax.while_loop(cond, body, (jnp.asarray(0), st))
+    return st.L
+
+
+def render_persistent(scene: Scene, spec: IntegratorSpec, camera, width, height,
+                      pixel_ids, spp: int, key, jitter: bool = True):
+    """Persistent-wavefront renderer with path regeneration.
+
+    One lane per pixel; when a lane's path terminates (RR kill, emitter hit,
+    escape) it IMMEDIATELY starts that pixel's next camera sample, so lane
+    utilization stays near 100% until the tail. The naive per-sample
+    wavefront (`trace`) instead runs every lane for as many iterations as
+    the LONGEST surviving path in the batch — with RR continue 0.6 over 64k
+    lanes that's ~22+ iterations for an expected path length of ~2.0, a
+    ~10x waste the reference's scalar loop (vptShadeMethods.h:1278) never
+    pays because each CPU path stops exactly when it dies.
+
+    Returns summed radiance per lane, (N, 3) — divide by spp for the pixel
+    estimate.
+    """
+    from ..scene import camera as cam_mod
+
+    N = pixel_ids.shape[0]
+    key = rng.fold(key, 0x70657273)
+    max_iters = spp * spec.max_bounces + 64
+
+    def regen(st: PathState, depth, samples_done, it):
+        """Start the next sample on lanes that are dead with work left."""
+        need = (~st.alive) & (samples_done < spp)
+        o, d = cam_mod.rays_for_pixels(
+            camera, width, height, pixel_ids, rng.fold(key, 0x7265, it), jitter
+        )
+        st = PathState(
+            o=jnp.where(need[:, None], o, st.o),
+            d=jnp.where(need[:, None], d, st.d),
+            tp=jnp.where(need[:, None], 1.0, st.tp),
+            L=st.L,
+            alive=st.alive | need,
+        )
+        return st, jnp.where(need, 0, depth)
+
+    def cond(carry):
+        it, st, depth, samples_done = carry
+        return (it < max_iters) & jnp.any(samples_done < spp)
+
+    def body(carry):
+        it, st, depth, samples_done = carry
+        st, depth = regen(st, depth, samples_done, it)
+        st2 = bounce_step(scene, spec, it, key, st, depth=depth)
+        # per-path depth cap (the scan/while bound of `trace`, SURVEY §7
+        # "fixed-bound masked loop")
+        alive = st2.alive & (depth + 1 < spec.max_bounces)
+        finished = st.alive & ~alive
+        st2 = PathState(o=st2.o, d=st2.d, tp=st2.tp, L=st2.L, alive=alive)
+        return (
+            it + 1,
+            st2,
+            jnp.where(alive, depth + 1, depth),
+            samples_done + finished.astype(samples_done.dtype),
+        )
+
+    o0 = jnp.zeros((N, 3), scene.radius.dtype)
+    st = PathState(
+        o=o0, d=o0.at[:, 2].set(1.0), tp=jnp.ones_like(o0),
+        L=jnp.zeros_like(o0),
+        alive=jnp.zeros((N,), bool),   # all dead -> first regen starts sample 0
+    )
+    init = (jnp.asarray(0), st, jnp.zeros((N,), jnp.int32),
+            jnp.zeros((N,), jnp.int32))
+    _, st, _, _ = jax.lax.while_loop(cond, body, init)
     return st.L

@@ -117,14 +117,15 @@ def _bsdf_strategy(scene: Scene, obj_id, x, n, wray, alpha, key):
     u1, u2 = rng.uniform(rng.fold(key, rng.Tag.MIS_BSDF), (2, N))
     u_choice = rng.uniform(rng.fold(key, rng.Tag.BSDF_CHOICE), (N,))
 
+    # Sample all three lobes' DIRECTIONS (cheap VPU math), select the
+    # active material's, then trace ONE ray — the reference traces inside
+    # each material branch (uniform/softDielectric/microfacet all call
+    # rayTracer/intersect), but only the selected branch's Le ever
+    # survives the dispatch, so one batched trace is estimator-identical
+    # at a third of the intersection cost.
+
     # --- Lambert: `uniform` (samplingFunctions.h:250-261)
     wi_l = ds.cosine_hemisphere(n, u1, u2)
-    le_l, sid_l = geo.ray_tracer(x, wi_l, scene)
-    cos_l = vm.dot(n, wi_l)
-    gpdf_l = ds.cosine_hemisphere_pdf(cos_l)
-    g_l = le_l * (scene.albedo[obj_id] / jnp.pi) * (
-        cos_l / jnp.where(gpdf_l != 0.0, gpdf_l, 1e-12)
-    )[..., None]
 
     # --- Dielectric: `softDielectric` (samplingFunctions.h:209-235)
     wt = vm.normalize(dl.refract(bx.GLASS_ETA_I, bx.GLASS_ETA_T, wo, n), eps=1e-20)
@@ -134,13 +135,6 @@ def _bsdf_strategy(scene: Scene, obj_id, x, n, wray, alpha, key):
     wr = vm.normalize(dl.reflect(wo, n), eps=1e-20)
     reflect_branch = u_choice < fres
     wi_d = jnp.where(reflect_branch[..., None], wr, wt)
-    le_d, sid_d = geo.ray_tracer(x, wi_d, scene)
-    cos_d = jnp.abs(vm.dot(n, wi_d))
-    scale_d = jnp.where(
-        reflect_branch, 1.0, bx.GLASS_ETA_T * bx.GLASS_ETA_T
-    ) / jnp.maximum(cos_d, 1e-12)
-    g_d = le_d * scale_d[..., None]
-    gpdf_d = jnp.where(reflect_branch, fres, 1.0 - fres)
 
     # --- Microfacet: `microfacet` (samplingFunctions.h:97-118); alpha is
     # the caller-passed roughness like the reference (misSamplingFunctions.h:78)
@@ -150,20 +144,36 @@ def _bsdf_strategy(scene: Scene, obj_id, x, n, wray, alpha, key):
     wi_local = -wo_local + wh_local * (2.0 * vm.dot(wh_local, wo_local))[..., None]
     wi_local = vm.normalize(wi_local, eps=1e-20)
     wi_m = vm.normalize(vm.from_local(n, wi_local), eps=1e-20)
-    le_m, sid_m = geo.ray_tracer(x, wi_m, scene)
+
+    is_m = material == MICROFACET
+    is_d = material == DIELECTRIC
+    wi_sel = jnp.where(is_m[..., None], wi_m,
+                       jnp.where(is_d[..., None], wi_d, wi_l))
+    le, sid = geo.ray_tracer(x, wi_sel, scene)     # the ONE trace
+
+    cos_l = vm.dot(n, wi_l)
+    gpdf_l = ds.cosine_hemisphere_pdf(cos_l)
+    g_l = le * (scene.albedo[obj_id] / jnp.pi) * (
+        cos_l / jnp.where(gpdf_l != 0.0, gpdf_l, 1e-12)
+    )[..., None]
+
+    cos_d = jnp.abs(vm.dot(n, wi_d))
+    scale_d = jnp.where(
+        reflect_branch, 1.0, bx.GLASS_ETA_T * bx.GLASS_ETA_T
+    ) / jnp.maximum(cos_d, 1e-12)
+    g_d = le * scale_d[..., None]
+    gpdf_d = jnp.where(reflect_branch, fres, 1.0 - fres)
+
     n_local = jnp.zeros_like(wi_local).at[..., 2].set(1.0)
     fr_m = mfac.fr_microfacet(
         scene.eta[obj_id], scene.kappa[obj_id],
         wi_local, wh_local, wo_local, alpha_o, n_local,
     )
     gpdf_m = mfac.microfacet_pdf(wo_local, wh_local, alpha_o, n_local)
-    g_m = le_m * fr_m * (wi_local[..., 2] / jnp.maximum(gpdf_m, 1e-20))[..., None]
+    g_m = le * fr_m * (wi_local[..., 2] / jnp.maximum(gpdf_m, 1e-20))[..., None]
 
-    is_m = material == MICROFACET
-    is_d = material == DIELECTRIC
     g = jnp.where(is_m[..., None], g_m, jnp.where(is_d[..., None], g_d, g_l))
     gpdf = jnp.where(is_m, gpdf_m, jnp.where(is_d, gpdf_d, gpdf_l))
-    sid = jnp.where(is_m, sid_m, jnp.where(is_d, sid_d, sid_l))
 
     # weight gates: all-channels-positive for lambert/dielectric (:136,:147),
     # red-only for microfacet (:160)

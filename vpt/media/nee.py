@@ -32,13 +32,47 @@ def plight(scene: Scene, obj_id, x, n, wray, intensity, light_p, alpha):
     Visibility cascade: plain `visibility` gives full 1/d^2 radiance; else
     `visibilityVPT` (ignoring volumetric boundaries) attenuates by multipleT
     at the hardcoded sigma_t; else black. fr is evaluated in the local frame.
+
+    Fused: the reference traces the light->x ray twice (visibility,
+    visibilityVPT) and the x->light ray once more (multipleT) — three full
+    sphere scans per call (vptShadeMethods.h:66-72). One `sphere_roots` pass
+    over the light->x ray yields all three: the VPT variant only masks
+    material==3 out of the same nearest-hit reduction, and the reversed
+    ray's roots are D - t2 / D - t1.
     """
+    from ..scene.scene import VOLUME_BOUNDARY
+
     light = jnp.broadcast_to(light_p, x.shape)
     d2 = vm.norm2(light - x)
     inv_d2 = 1.0 / jnp.maximum(d2, 1e-20)
-    vis = geo.visibility(light, x, scene)
-    vis_vpt = geo.visibility_vpt(light, x, scene)
-    mt = med.multiple_transmittance(x, light, PLIGHT_FALLBACK_SIGMA_T, scene)
+    distance = jnp.sqrt(jnp.maximum(d2, 1e-20))
+    dir_lx = (x - light) / distance[..., None]
+
+    t1, t2, _ = geo.sphere_roots(light, dir_lx, scene)         # (N, S)
+    eps = geo.hit_eps(scene)[None, :]
+    # Sphere::intersect first-root rescue (Sphere.h:34)
+    t_first = jnp.where((t1 < 0.0) | (jnp.abs(t1) < eps), t2, t1)
+    valid = (t_first > 0.0) & (jnp.abs(t_first) > eps)
+    slack = 1024.0 * float(jnp.finfo(x.dtype).eps)
+    is_vol = (scene.material == VOLUME_BOUNDARY)[None, :]
+
+    def nearest_vis(mask):
+        tm = jnp.where(mask, t_first, jnp.inf)
+        tmin = jnp.min(tm, axis=-1)
+        return (tmin > distance * (1.0 - slack)) | ~jnp.isfinite(tmin)
+
+    vis = nearest_vis(valid)
+    vis_vpt = nearest_vis(valid & ~is_vol)
+
+    # multipleT on the reversed (x -> light) ray: roots are D-t2, D-t1
+    # (volumetricBasicFunctions.h:26-57 applied to r(x, (light-x)/D))
+    r1 = distance[..., None] - t2
+    r2 = distance[..., None] - t1
+    st = PLIGHT_FALLBACK_SIGMA_T
+    tau = jnp.where(is_vol & (r2 < 0.0), st * r1, 0.0)
+    tau = tau + jnp.where(is_vol & (r2 - r1 > 0.0), st * (r2 - r1), 0.0)
+    mt = jnp.exp(-jnp.sum(tau, axis=-1))
+
     le_scale = jnp.where(vis, inv_d2, jnp.where(vis_vpt, inv_d2 * mt, 0.0))
     le = intensity * le_scale[..., None]
 
@@ -55,74 +89,57 @@ def plight(scene: Scene, obj_id, x, n, wray, intensity, light_p, alpha):
     return le * fr * vm.dot(n, wi)[..., None]
 
 
-def _sphere_light_single_scatter(scene: Scene, xt, idsource, sigma_t, u1, u2):
-    """Shared spherical-source cone-sampling branch of both single-scattering
-    estimators (volumetricBasicFunctions.h:251-278 / 310-337). Returns
-    (contribution, point_killed):
-
-    contribution — the UNWEIGHTED Ls / prob_wl term (caller applies
-    T*sigma_s and probSource).
-
-    point_killed — the reference's missing-else quirk: the cone branch runs
-    UNCONDITIONALLY after the point branch (volumetricBasicFunctions.h:245-251
-    — there is no `else`), so for an r == 0 source the degenerate center ray
-    (cos_theta_max == 1 collapses the cone onto wc) can "hit" the zero-radius
-    sphere and OVERWRITE Ld with Ls/solidAngleProb(1) == Ls/inf == 0 (see the
-    inline comment below for how we reproduce this).
-    """
-    center = scene.center[idsource]
-    wc = center - xt
-    wc_mag = vm.norm(wc)
-    wc = wc / jnp.maximum(wc_mag, 1e-20)[..., None]
-    ratio = scene.radius[idsource] / jnp.maximum(wc_mag, 1e-20)
-    cos_max = jnp.sqrt(jnp.maximum(1.0 - ratio * ratio, 1e-12))
-    wl = ds.cone(wc, cos_max, u1, u2)
-    prob_wl = ds.cone_pdf(cos_max)
-    hit, t, hit_id = geo.nearest_hit(xt, wl, scene)
-    visible = hit & (hit_id == idsource)
-    le = scene.radiance[idsource]
-    ls = le * (jnp.exp(-sigma_t * t) * med.INV_4PI)[..., None]
-    contrib = ls / jnp.maximum(prob_wl, 1e-20)[..., None]
-
-    # For r == 0 the reference's cone collapses onto wc EXACTLY and its
-    # cancellation-prone det = (oc.wc)^2 - oc.oc (Sphere.h:30) rounds >= 0
-    # ~87% of the time (measured against the rebuilt binary with a
-    # deterministic RNG probe), overwriting the point value with Ls/inf == 0.
-    # The coin's per-sample outcome is pure fp rounding noise and cannot be
-    # replayed faithfully through XLA (it even differs between eager and
-    # jitted evaluation of the same f64 expression), so we take the dominant
-    # branch deterministically: the point contribution is killed whenever the
-    # degenerate ray would reach the light (distance above the reference's
-    # 1e-4 validity epsilon, Sphere.h:34). Documented divergence: the
-    # reference retains ~13% of this term as fp-lottery noise; we retain 0%.
-    point_killed = wc_mag > geo.EPS_T
-    return jnp.where(visible[..., None], contrib, 0.0), point_killed
-
-
-def _point_light_single_scatter(scene: Scene, xt, idsource, sigma_t):
-    """Point-source branch (volumetricBasicFunctions.h:236-244 / 295-303):
-    visibility, 1/d^2 falloff, transmittance to the light, isotropic phase."""
-    light = scene.center[idsource]
-    vis = geo.visibility(light, xt, scene)
-    le = scene.radiance[idsource]
-    d2 = jnp.maximum(vm.norm2(light - xt), 1e-20)
-    ls = le * (med.transmittance(xt, light, sigma_t) * med.INV_4PI / d2)[..., None]
-    return jnp.where(vis[..., None], ls, 0.0)
-
-
 def _combine_point_sphere(scene: Scene, xt, idsource, sigma_t, u1, u2,
                           physical_point_nee: bool = False):
     """Reference branch combination incl. the missing-else overwrite: for
     r == 0 sources the point value survives ONLY when the degenerate cone
-    ray misses the point sphere (see _sphere_light_single_scatter).
+    ray misses the point sphere (see the quirk note below).
     physical_point_nee=True disables the overwrite quirk — the physically
-    intended if/else the reference author evidently meant to write."""
+    intended if/else the reference author evidently meant to write.
+
+    Fused: the point branch's visibility (light -> xt ray,
+    volumetricBasicFunctions.h:237) and the sphere branch's cone ray
+    (xt -> wl, :327) are ONE batched nearest-hit here — each lane traces the
+    ray its branch needs, selected by radius[idsource] == 0."""
+    center = scene.center[idsource]
     is_point = scene.radius[idsource] == 0.0
-    point = _point_light_single_scatter(scene, xt, idsource, sigma_t)
-    sphere, point_killed = _sphere_light_single_scatter(
-        scene, xt, idsource, sigma_t, u1, u2)
+    le = scene.radiance[idsource]
+
+    # sphere-branch cone sample
+    wc = center - xt
+    wc_mag = vm.norm(wc)
+    wc_n = wc / jnp.maximum(wc_mag, 1e-20)[..., None]
+    ratio = scene.radius[idsource] / jnp.maximum(wc_mag, 1e-20)
+    cos_max = jnp.sqrt(jnp.maximum(1.0 - ratio * ratio, 1e-12))
+    wl = ds.cone(wc_n, cos_max, u1, u2)
+    prob_wl = ds.cone_pdf(cos_max)
+
+    # one trace: point lanes cast light -> xt (the reference's quirky
+    # shadow-ray direction), sphere lanes cast xt -> wl
+    o_ray = jnp.where(is_point[..., None], center, xt)
+    d_ray = jnp.where(is_point[..., None], -wc_n, wl)
+    hit, t, hit_id = geo.nearest_hit(o_ray, d_ray, scene)
+
+    # point branch (visibility: first hit beyond xt, or nothing hit)
+    slack = 1024.0 * float(jnp.finfo(xt.dtype).eps)
+    vis_point = (t > wc_mag * (1.0 - slack)) | ~hit
+    d2 = jnp.maximum(wc_mag * wc_mag, 1e-20)
+    point = le * (med.transmittance(xt, center, sigma_t) * med.INV_4PI / d2)[..., None]
+    point = jnp.where(vis_point[..., None], point, 0.0)
     if not physical_point_nee:
-        point = jnp.where(point_killed[..., None], 0.0, point)
+        # missing-else overwrite quirk: the reference's cone branch has no `else`
+        # (volumetricBasicFunctions.h:305-337); its degenerate center ray
+        # 'hits' the r==0 sphere on an fp-rounding coin ~87% of the time and
+        # overwrites Ld with Ls/inf == 0; we take the dominant branch
+        # deterministically (documented divergence: ~13% fp-lottery residual)
+        point = jnp.where((wc_mag > geo.EPS_T)[..., None], 0.0, point)
+
+    # sphere branch (visibility by id match; Tr over the hit distance)
+    vis_sphere = hit & (hit_id == idsource)
+    ls = le * (jnp.exp(-sigma_t * t) * med.INV_4PI)[..., None]
+    sphere = jnp.where(
+        vis_sphere[..., None], ls / jnp.maximum(prob_wl, 1e-20)[..., None], 0.0)
+
     return jnp.where(is_point[..., None], point, sphere)
 
 
