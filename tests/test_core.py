@@ -55,3 +55,49 @@ def test_rng_streams_distinct_and_deterministic():
     assert not np.allclose(a, b)
     np.testing.assert_array_equal(a, a2)
     assert float(jnp.min(a)) >= 0.0 and float(jnp.max(a)) < 1.0
+
+
+def test_native_ppm_matches_python():
+    """The C extension (if built) must produce byte-identical P3 files and
+    identical tonemap/read results to the pure-Python reference impl."""
+    import importlib
+    import tempfile, os
+    import numpy as np
+    import vpt.io.ppm as P
+
+    if not P.native_available():
+        import pytest
+        pytest.skip("native _ppmio not built")
+    rng = np.random.default_rng(3)
+    img = rng.random((24, 32, 3)) * 1.5
+    with tempfile.TemporaryDirectory() as tmp:
+        nat, py = os.path.join(tmp, "nat.ppm"), os.path.join(tmp, "py.ppm")
+        P.write_ppm(nat, img)
+        saved = P._ppmio
+        try:
+            P._ppmio = None
+            P.write_ppm(py, img)
+            q_py = P.tonemap(img)
+        finally:
+            P._ppmio = saved
+        assert open(nat, "rb").read() == open(py, "rb").read()
+        assert np.array_equal(P.tonemap(img), q_py)
+        assert np.array_equal(P.read_ppm(nat), q_py)
+
+
+def test_erand48_matches_libc():
+    """The erand48 oracle backend must be bit-exact vs glibc (SURVEY §7.2)."""
+    import ctypes
+    import numpy as np
+    from vpt.core.rng import erand48_state, erand48_sequence
+
+    try:
+        libc = ctypes.CDLL("libc.so.6")
+    except OSError:
+        import pytest
+        pytest.skip("no glibc")
+    libc.erand48.restype = ctypes.c_double
+    seed = (ctypes.c_ushort * 3)(0x1234, 0xABCD, 0x5678)
+    ref = [libc.erand48(seed) for _ in range(64)]
+    mine, _ = erand48_sequence(erand48_state([0x1234, 0xABCD, 0x5678]), 64)
+    assert np.array_equal(ref, mine)

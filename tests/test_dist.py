@@ -40,8 +40,8 @@ def test_sharded_matches_single_device_statistically():
     """Sharded and unsharded renders draw different streams but estimate the
     same image; compare means at moderate spp."""
     mesh = make_mesh()
-    cfg = vpt.RenderConfig(width=12, height=12, spp=64, max_bounces=8,
-                           chunk_pixels=144)
+    cfg = vpt.RenderConfig(width=12, height=12, spp=96, max_bounces=8,
+                           chunk_pixels=144, renderer="scan")
     a = np.asarray(render_sharded(SCENE, CAM, cfg, mesh))
     b = np.asarray(vpt.render(SCENE, CAM, cfg))
     # compare on the display-clamped image: the raw mean is firefly-dominated

@@ -45,12 +45,23 @@ def resolve_spec(cfg: RenderConfig) -> engine.IntegratorSpec:
 
 
 def resolve_tracer(integrator: str, continue_prob: float, max_bounces: int):
-    """(family, spec, trace_fn) for any registered integrator name."""
+    """(family, spec, trace_fn) for any registered integrator name.
+
+    cfg knobs override only fields the named variant leaves at their
+    defaults — variants that PIN an RR probability or depth limit (e.g.
+    vpt_minimal_implicit's max depth 5, src/rt.cpp:329) keep it.
+    """
+    import dataclasses as _dc
+
     if integrator in VOLUME_INTEGRATORS:
         s = VOLUME_INTEGRATORS[integrator]
-        spec = engine.IntegratorSpec(
-            distance=s.distance, nee=s.nee, clamped_ea=s.clamped_ea,
-            continue_prob=continue_prob, max_bounces=max_bounces,
+        defaults = engine.IntegratorSpec()
+        spec = _dc.replace(
+            s,
+            continue_prob=(continue_prob if s.continue_prob == defaults.continue_prob
+                           else s.continue_prob),
+            max_bounces=(max_bounces if s.max_bounces == defaults.max_bounces
+                         else s.max_bounces),
         )
         return "volume", spec, engine.trace
     if integrator in SURFACE_INTEGRATORS:

@@ -56,3 +56,33 @@ def uniform3(key: jax.Array, shape=(), dtype=jnp.float32) -> jax.Array:
     """Three independent U[0,1) arrays of the given shape."""
     u = jax.random.uniform(key, (3,) + tuple(shape), dtype=dtype)
     return u[0], u[1], u[2]
+
+
+# --- erand48-compatible backend (SURVEY §7.2) ---------------------------
+#
+# The reference draws every uniform from ONE shared erand48 state
+# (include/Vector.h:38, Vector.cpp:8). For seed-matched single-threaded
+# oracle comparisons we reproduce the exact glibc LCG: 48-bit state,
+# x' = a*x + c mod 2^48 with a = 0x5DEECE66D, c = 0xB; the double is the
+# top 48 bits scaled by 2^-48 (DRAND48 semantics).
+
+ERAND48_A = 0x5DEECE66D
+ERAND48_C = 0xB
+ERAND48_MASK = (1 << 48) - 1
+
+
+def erand48_state(seed_words) -> int:
+    """Pack the xsubi[3] little-endian 16-bit words into the 48-bit state
+    (the reference seeds 3 entropy bytes into these words, src/rt.cpp:746)."""
+    w = list(seed_words)
+    return (w[0] | (w[1] << 16) | (w[2] << 32)) & ERAND48_MASK
+
+
+def erand48_sequence(state: int, n: int):
+    """Generate n doubles + the advanced state, bit-exact vs glibc erand48.
+    Pure python ints (exact 48-bit arithmetic) — oracle use only."""
+    out = []
+    for _ in range(n):
+        state = (state * ERAND48_A + ERAND48_C) & ERAND48_MASK
+        out.append(state / float(1 << 48))
+    return out, state

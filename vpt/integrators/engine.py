@@ -64,6 +64,13 @@ class IntegratorSpec:
     # True disables the reference's missing-else point-NEE overwrite quirk
     # (see media/nee.py) and restores physical point-light in-scattering.
     physical_point_nee: bool = False
+    # Single hardcoded NEE source (prob_source = 1) — the rt.cpp
+    # volumetricPathTracerExplicit* family takes idsource as a parameter
+    # (src/rt.cpp:361, 472, 603) instead of sampling the emitter set.
+    fixed_light: int | None = None
+    # NEE over EVERY emitter per bounce instead of sampling one — the
+    # volumetricPathTracer3alt strategy (vptShadeMethods.h:285-395).
+    nee_all_lights: bool = False
     # Emitter-hit policy: explicit integrators only credit depth 0
     # (vptShadeMethods.h:1308-1313); implicit ones credit at any depth
     # (vptShadeMethods.h:981-983).
@@ -135,9 +142,14 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
     xs = st.o + t_eff[:, None] * st.d
     nrm = vm.normalize(xs - scene.center[obj_id], eps=1e-20)
 
-    # --- light pick (uniform over emitters)
+    # --- light pick (uniform over emitters; or the fixed idsource of the
+    # single-light variants, src/rt.cpp:361/472/603)
     u_pick = rng.uniform(rng.fold(kb, rng.Tag.LIGHT_PICK), (N,), dtype)
-    idsource, prob_source, has_lights = pick_light(scene, u_pick)
+    if spec.fixed_light is not None:
+        idsource = jnp.full((N,), spec.fixed_light, jnp.int32)
+        prob_source, has_lights = 1.0, True
+    else:
+        idsource, prob_source, has_lights = pick_light(scene, u_pick)
     if not has_lights:
         alive = alive & False
     light_center = scene.center[idsource]                    # (N, 3)
@@ -179,11 +191,23 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
     shade = alive & surface_event & ~em_hit
 
     if spec.nee:
-        trs = med.transmittance(xs, light_center, sigma_t)
-        ld_partial = nee_mod.plight(
-            scene, obj_id, xs, nrm, st.d,
-            scene.radiance[idsource], light_center, scene.alpha[obj_id],
-        ) * (trs / prob_source)[:, None]
+        if spec.nee_all_lights:
+            # volumetricPathTracer3alt: pLight for EVERY emitter, prob 1
+            # (vptShadeMethods.h:285-395)
+            ld_partial = jnp.zeros((N, 3), dtype)
+            for e in scene.emitter_idx:
+                ec = jnp.broadcast_to(scene.center[e], xs.shape)
+                trs_e = med.transmittance(xs, ec, sigma_t)
+                ld_partial = ld_partial + nee_mod.plight(
+                    scene, obj_id, xs, nrm, st.d,
+                    scene.radiance[e], ec, scene.alpha[obj_id],
+                ) * trs_e[:, None]
+        else:
+            trs = med.transmittance(xs, light_center, sigma_t)
+            ld_partial = nee_mod.plight(
+                scene, obj_id, xs, nrm, st.d,
+                scene.radiance[idsource], light_center, scene.alpha[obj_id],
+            ) * (trs / prob_source)[:, None]
         ld_mis = mis_mod.mis_v2(
             scene, obj_id, xs, nrm, st.d, scene.alpha[obj_id],
             rng.fold(kb, rng.Tag.MIS), sigma_t,
@@ -210,10 +234,21 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
         if spec.nee:
             # PBRT cancellation: only sigma_s/sigma_t survives
             # (vptShadeMethods.h:1330-1334)
-            ld_med = nee_mod.free_single_scattering(
-                scene, xt, idsource, sigma_t, prob_source, u_c1, u_c2,
-                physical_point_nee=spec.physical_point_nee,
-            )
+            if spec.nee_all_lights:
+                ld_med = jnp.zeros((N, 3), dtype)
+                for j, e in enumerate(scene.emitter_idx):
+                    ue1, ue2 = rng.uniform(
+                        rng.fold(kb, rng.Tag.NEE_CONE, j + 1), (2, N), dtype)
+                    ld_med = ld_med + nee_mod.free_single_scattering(
+                        scene, xt, jnp.full((N,), e, jnp.int32), sigma_t,
+                        1.0, ue1, ue2,
+                        physical_point_nee=spec.physical_point_nee,
+                    )
+            else:
+                ld_med = nee_mod.free_single_scattering(
+                    scene, xt, idsource, sigma_t, prob_source, u_c1, u_c2,
+                    physical_point_nee=spec.physical_point_nee,
+                )
             L = L + jnp.where(
                 medium[:, None], ld_med * st.tp * (albedo_ratio / cp), 0.0
             )
@@ -228,10 +263,21 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
             # singleScattering already carries T * sigma_s (volumetric-
             # BasicFunctions.h:242); outer weight is 1/(pSuccess * cp)
             # (vptShadeMethods.h:1139-1146)
-            ld_med = nee_mod.single_scattering(
-                scene, xt, idsource, sigma_t, sigma_s, t_xt, prob_source,
-                u_c1, u_c2, physical_point_nee=spec.physical_point_nee,
-            )
+            if spec.nee_all_lights:
+                ld_med = jnp.zeros((N, 3), dtype)
+                for j, e in enumerate(scene.emitter_idx):
+                    ue1, ue2 = rng.uniform(
+                        rng.fold(kb, rng.Tag.NEE_CONE, j + 1), (2, N), dtype)
+                    ld_med = ld_med + nee_mod.single_scattering(
+                        scene, xt, jnp.full((N,), e, jnp.int32), sigma_t,
+                        sigma_s, t_xt, 1.0, ue1, ue2,
+                        physical_point_nee=spec.physical_point_nee,
+                    )
+            else:
+                ld_med = nee_mod.single_scattering(
+                    scene, xt, idsource, sigma_t, sigma_s, t_xt, prob_source,
+                    u_c1, u_c2, physical_point_nee=spec.physical_point_nee,
+                )
             L = L + jnp.where(
                 medium[:, None], ld_med * st.tp / (pdf_success * cp)[:, None], 0.0
             )

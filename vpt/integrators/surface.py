@@ -52,6 +52,12 @@ EXPLICIT_RECURSIVE = "explicit_recursive"
 TAIL = "tail"
 IMPLICIT = "implicit"
 SHADE = "shade"
+MARCH_MEDIA = "march_media"
+
+# explicitPathRecursive2 hardcodes its own medium (vptShadeMethods.h:399-400)
+MARCH_SIGMA_A = 0.05
+MARCH_SIGMA_S = 0.009
+MARCH_STEPS = 100               # vptShadeMethods.h:424
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,6 +74,9 @@ SURFACE_INTEGRATORS: dict[str, SurfaceSpec] = {
     "tail_explicit_path": SurfaceSpec(TAIL, 0.1),
     "implicit_path": SurfaceSpec(IMPLICIT, 0.1, max_bounces=6),
     "shade": SurfaceSpec(SHADE, 0.0, max_bounces=1),
+    # explicitPathRecursive2 (vptShadeMethods.h:398-495): surface PT that
+    # ray-marches through material==3 boundary spheres
+    "explicit_path_march_media": SurfaceSpec(MARCH_MEDIA, 0.1),
 }
 
 
@@ -261,6 +270,89 @@ def surface_bounce(scene: Scene, spec: SurfaceSpec, bounce, key,
     )
 
 
+def march_media_bounce(scene: Scene, spec: SurfaceSpec, bounce, key,
+                       st: SurfaceState) -> SurfaceState:
+    """One bounce of explicitPathRecursive2 (vptShadeMethods.h:398-495):
+    a surface PT whose rays MARCH through material==3 boundary spheres
+    (100 fixed steps of point-light single scattering via punctualVolumetric)
+    and continue, attenuated by the segment transmittance. Its medium
+    coefficients are hardcoded (sigma_a=0.05, sigma_s=0.009, :399-400)
+    independent of the scene's. Emitter hits return black at ANY depth
+    (:414-415); Ld counts even when RR kills (:467-469); the continuation is
+    the two-way Lambert/microfacet(alpha=0.001) dispatch (:471-487)."""
+    from ..media import medium as med_mod
+    from .raymarch import punctual_single_scatter
+
+    sigma_t = MARCH_SIGMA_A + MARCH_SIGMA_S
+    q = spec.rr_q
+    cp = 1.0 - q
+    N = st.o.shape[0]
+    dtype = st.o.dtype
+    kb = rng.fold(key, bounce)
+
+    hit, t1, t2, obj_id = geo.nearest_hit_both(st.o, st.d, scene)
+    alive = st.alive & hit
+    em_hit = alive & (scene.radiance[obj_id][..., 0] > 0.0)
+    alive = alive & ~em_hit                      # black at any depth (:414)
+    x = st.o + t1[:, None] * st.d
+    is_m3 = alive & (scene.material[obj_id] == 3)
+
+    # --- material-3 branch: fixed-step march through [t1, t2] ----------
+    step = (t2 - t1) / MARCH_STEPS
+    ls = jnp.zeros((N, 3), dtype)
+    if scene.point_idx:
+        def seg(i, acc):
+            xt = x + st.d * (step * i)[:, None]
+            tr_seg = med_mod.transmittance(x, xt, sigma_t)
+            c = acc
+            for light in scene.point_idx:
+                c = c + punctual_single_scatter(
+                    scene, jnp.full((N,), light, jnp.int32), xt,
+                    sigma_t, MARCH_SIGMA_S,
+                ) * (step * tr_seg)[:, None]
+            return c
+
+        ls = jax.lax.fori_loop(0, MARCH_STEPS, seg, ls)
+    x_exit = x + st.d * (step * (MARCH_STEPS - 1))[:, None]
+    tr_exit = med_mod.transmittance(x, x_exit, sigma_t)
+    L = st.L + jnp.where(is_m3[:, None], st.fs * ls * st.factor[:, None], 0.0)
+
+    # --- ordinary surface branch ---------------------------------------
+    surf = alive & ~is_m3
+    n = vm.normalize(x - scene.center[obj_id], eps=1e-20)
+    alpha_obj = scene.alpha[obj_id]
+    ld = point_light_sum(scene, obj_id, x, n, st.d, alpha_obj)
+    ld = ld + mis_mod.mis(scene, obj_id, x, n, st.d, alpha_obj,
+                          rng.fold(kb, rng.Tag.MIS))
+    u_rr = rng.uniform(rng.fold(kb, rng.Tag.RR), (N,), dtype)
+    killed = u_rr < q
+    L = L + jnp.where(surf[:, None], st.fs * ld * st.factor[:, None], 0.0)
+
+    u_b1, u_b2 = rng.uniform(rng.fold(kb, rng.Tag.BSDF), (2, N), dtype)
+    fs1, wi, pdf = _legacy_bsdf(scene, obj_id, st.d, n, u_b1, u_b2)
+    cosine = jnp.abs(vm.dot(n, wi))
+
+    surf_alive = surf & ~killed
+    alive_new = surf_alive | is_m3
+    o_new = jnp.where(is_m3[:, None], x_exit, x)
+    d_new = jnp.where(surf_alive[:, None], wi, st.d)
+    fs_new = jnp.where(
+        is_m3[:, None], st.fs * tr_exit[:, None],
+        jnp.where(surf_alive[:, None], st.fs * fs1, st.fs))
+    factor_new = jnp.where(
+        surf_alive,
+        st.factor * cosine / (jnp.maximum(pdf, 1e-20) * cp),
+        st.factor)
+    return SurfaceState(
+        o=jnp.where(alive_new[:, None], o_new, st.o),
+        d=jnp.where(alive_new[:, None], d_new, st.d),
+        fs=jnp.where(alive_new[:, None], fs_new, st.fs),
+        factor=jnp.where(alive_new, factor_new, st.factor),
+        L=L,
+        alive=alive_new,
+    )
+
+
 def trace_surface(scene: Scene, spec: SurfaceSpec, o, d, key,
                   differentiable: bool = False) -> jnp.ndarray:
     """Trace a surface-PT ray batch; returns radiance (N, 3)."""
@@ -279,9 +371,10 @@ def trace_surface(scene: Scene, spec: SurfaceSpec, o, d, key,
         for b in range(spec.max_bounces):
             st = surface_bounce(scene, spec, b, key, st)
         return st.L
+    step_fn = march_media_bounce if spec.variant == MARCH_MEDIA else surface_bounce
     if differentiable:
         def body(carry, bounce):
-            return surface_bounce(scene, spec, bounce, key, carry), None
+            return step_fn(scene, spec, bounce, key, carry), None
         st, _ = jax.lax.scan(body, st, jnp.arange(spec.max_bounces))
         return st.L
 
@@ -291,7 +384,7 @@ def trace_surface(scene: Scene, spec: SurfaceSpec, o, d, key,
 
     def body(carry):
         bounce, st = carry
-        return bounce + 1, surface_bounce(scene, spec, bounce, key, st)
+        return bounce + 1, step_fn(scene, spec, bounce, key, st)
 
     _, st = jax.lax.while_loop(cond, body, (jnp.asarray(0), st))
     return st.L

@@ -121,18 +121,22 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
     class Pcg:
         """Per-lane PCG-RXS-M-XS-32 stream carried through the while loop:
         identical on TPU and in interpret mode (the hardware PRNG,
-        pltpu.prng_random_bits, is TPU-only), ~8 int VPU ops per draw —
-        far cheaper than a threefry block per uniform."""
+        pltpu.prng_random_bits, is TPU-only), ~10 int VPU ops per draw —
+        far cheaper than a threefry block per uniform. All math is int32
+        (wrapping) because Mosaic has no uint32<->float32 casts; the uniform
+        comes from a mantissa bitcast: 1.0 <= (0x3F8 | mantissa) < 2.0."""
 
         def __init__(self, state):
             self.s = state
 
         def __call__(self):
-            s = self.s * jnp.uint32(747796405) + jnp.uint32(2891336453)
+            shr = jax.lax.shift_right_logical
+            s = self.s * jnp.int32(747796405) + jnp.int32(-1403630843)
             self.s = s
-            w = ((s >> ((s >> 28) + jnp.uint32(4))) ^ s) * jnp.uint32(277803737)
-            x = (w >> 22) ^ w
-            return (x >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+            w = (shr(s, shr(s, jnp.int32(28)) + jnp.int32(4)) ^ s) * jnp.int32(277803737)
+            x = shr(w, jnp.int32(22)) ^ w
+            mant = shr(x, jnp.int32(9)) | jnp.int32(0x3F800000)
+            return jax.lax.bitcast_convert_type(mant, jnp.float32) - 1.0
 
     def dot3(a, b):
         return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
@@ -209,9 +213,9 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
             "cx": z, "cy": z, "cz": z, "ar": z, "ag": z, "ab": z,
             "rr": z, "rg": z, "rb": z, "er": z, "eg": z, "eb": z,
             "kr": z, "kg": z, "kb": z, "alpha": z,
-            "is_em": jnp.zeros((R, 128), jnp.bool_),
-            "is_mic": jnp.zeros((R, 128), jnp.bool_),
-            "is_die": jnp.zeros((R, 128), jnp.bool_),
+            # material/emitter flags as f32 0/1: Mosaic cannot lower the
+            # i8->i1 truncation a bool-scalar select produces
+            "em_f": z, "mic_f": z, "die_f": z,
             "sid": jnp.full((R, 128), -1, jnp.int32),
         }
         for s in range(S):
@@ -228,11 +232,14 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
             at["er"] = w(eta[0], at["er"]); at["eg"] = w(eta[1], at["eg"]); at["eb"] = w(eta[2], at["eb"])
             at["kr"] = w(kap[0], at["kr"]); at["kg"] = w(kap[1], at["kg"]); at["kb"] = w(kap[2], at["kb"])
             at["alpha"] = w(sc["alpha"][s], at["alpha"])
-            at["is_em"] = jnp.where(closer, any(v > 0 for v in sc["rad"][s]), at["is_em"])
-            at["is_mic"] = jnp.where(closer, sc["mat"][s] == MICROFACET, at["is_mic"])
-            at["is_die"] = jnp.where(closer, sc["mat"][s] == DIELECTRIC, at["is_die"])
+            at["em_f"] = w(1.0 if any(v > 0 for v in sc["rad"][s]) else 0.0, at["em_f"])
+            at["mic_f"] = w(1.0 if sc["mat"][s] == MICROFACET else 0.0, at["mic_f"])
+            at["die_f"] = w(1.0 if sc["mat"][s] == DIELECTRIC else 0.0, at["die_f"])
             at["sid"] = jnp.where(closer, s, at["sid"])
         t_min = jnp.where(hit, t_min, 0.0)
+        at["is_em"] = at["em_f"] > 0.5
+        at["is_mic"] = at["mic_f"] > 0.5
+        at["is_die"] = at["die_f"] > 0.5
         return hit, t_min, at
 
     def nearest_id_t(o, d):
@@ -659,10 +666,11 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
         z = jnp.zeros((R, 128), jnp.float32)
         # per-lane PCG seed: hash(global seed, global lane id); one warmup
         # step decorrelates the low-entropy init
-        lane = (base + row * 128 + col).astype(jnp.uint32)
-        rngs0 = (lane * jnp.uint32(2654435761)) ^ (
-            seed_ref[0].astype(jnp.uint32) * jnp.uint32(0x9E3779B9) + jnp.uint32(1))
-        rngs0 = rngs0 * jnp.uint32(747796405) + jnp.uint32(2891336453)
+        lane = base + row * 128 + col
+        # golden-ratio and murmur3 odd constants as wrapped int32
+        rngs0 = (lane * jnp.int32(-1640531527)) ^ (
+            seed_ref[0] * jnp.int32(-2048144789) + jnp.int32(1))
+        rngs0 = rngs0 * jnp.int32(747796405) + jnp.int32(-1403630843)
         state = (
             [z, z, z], [z, z, 1.0 + z], [z, z, z], [z, z, z],
             jnp.zeros((R, 128), jnp.bool_),

@@ -245,8 +245,31 @@ def simple_cornell(dtype=jnp.float32) -> Scene:
     )
 
 
+def medium_shell(dtype=jnp.float32) -> Scene:
+    """Capability scene (ours; the reference keeps these code paths alive
+    but ships no material-3 scene): gray walls, a volumetric boundary
+    sphere (material 3) in front of a diffuse sphere, one point light and
+    one area light — exercises intersectVPT / multipleT / visibilityVPT and
+    the marching surface tracer (vptShadeMethods.h:398-495)."""
+    return make_scene(
+        [
+            (1e5, (-1e5 - 49, 0, 0), (0.6, 0.3, 0.3), _Z3, LAMBERT, _Z3, _Z3, 0.0),
+            (1e5, (1e5 + 49, 0, 0), (0.3, 0.3, 0.6), _Z3, LAMBERT, _Z3, _Z3, 0.0),
+            (1e5, (0, 0, -1e5 - 81.6), (0.5, 0.5, 0.5), _Z3, LAMBERT, _Z3, _Z3, 0.0),
+            (1e5, (0, -1e5 - 40.8, 0), (0.5, 0.5, 0.5), _Z3, LAMBERT, _Z3, _Z3, 0.0),
+            (1e5, (0, 1e5 + 40.8, 0), (0.5, 0.5, 0.5), _Z3, LAMBERT, _Z3, _Z3, 0.0),
+            (14.0, (0, -10.0, -10.0), (1, 1, 1), _Z3, VOLUME_BOUNDARY, _Z3, _Z3, 0.0),
+            (10.0, (20, -30.8, -40.0), (0.7, 0.6, 0.2), _Z3, LAMBERT, _Z3, _Z3, 0.0),
+            (0.0, (-20, 24.3, 10), _Z3, (4000, 3500, 3000), LAMBERT, _Z3, _Z3, 0.0),
+            (2.0, (23, 24.3, 35), _Z3, (75, 75, 60), LAMBERT, _Z3, _Z3, 0.0),
+        ],
+        dtype=dtype,
+    )
+
+
 SCENES = {
     "cornell_vpt": cornell_vpt,
+    "medium_shell": medium_shell,
     "sigma_comparison": sigma_comparison,
     "light_near_camera": light_near_camera,
     "near_point_area_sources": near_point_area_sources,
