@@ -36,19 +36,33 @@ def main():
 
     scene = vpt.cornell_vpt()
     camera = vpt.default_camera()
-    cfg = vpt.RenderConfig(
-        width=width, height=height, spp=spp,
-        integrator="explicit_free", renderer="persistent",
-        chunk_pixels=262144, max_bounces=32,
-    )
+
+    render = None
+    if os.environ.get("BENCH_BACKEND", "pallas") == "pallas":
+        try:
+            from vpt.kernels.wavefront import build_tile_renderer
+
+            run = build_tile_renderer(scene, camera, width, height, spp,
+                                      nee=True, max_bounces=32)
+            render = lambda seed: np.asarray(run(seed))
+        except Exception as e:  # Mosaic/platform issues -> XLA engine
+            print(f"# pallas unavailable ({type(e).__name__}), "
+                  "falling back to XLA engine", file=sys.stderr)
+    if render is None:
+        cfg = vpt.RenderConfig(
+            width=width, height=height, spp=spp,
+            integrator="explicit_free", renderer="persistent",
+            chunk_pixels=262144, max_bounces=32,
+        )
+        render = lambda seed: np.asarray(
+            vpt.render(scene, camera, cfg, key=jax.random.PRNGKey(seed)))
 
     # warmup / compile (same shapes as the timed run)
-    img = np.asarray(vpt.render(scene, camera, cfg))
+    img = render(0)
     assert np.isfinite(img).all(), "non-finite pixels"
 
     t0 = time.time()
-    img = np.asarray(vpt.render(scene, camera, cfg,
-                                key=jax.random.PRNGKey(1)))
+    img = render(1)
     dt = time.time() - t0
 
     n_paths = width * height * spp

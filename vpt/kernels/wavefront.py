@@ -85,7 +85,7 @@ def _scene_consts(scene: Scene):
 def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                         spp: int, *, nee: bool = True,
                         continue_prob: float = 0.6, max_bounces: int = 32,
-                        tile_rows: int = 256, jitter: bool = True,
+                        tile_rows: int = 128, jitter: bool = True,
                         interpret: bool = False):
     """Build a jitted fn(seed:int32[num_tiles], base:int32[num_tiles])
     -> (num_tiles*R, 128, 3) radiance sums (divide by spp).
@@ -556,7 +556,9 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
             gpdf = jnp.where(at["is_mic"], gpdf_m,
                              jnp.where(at["is_die"], gpdf_d, gpdf_l))
             pos_all = (g[0] > 0.0) & (g[1] > 0.0) & (g[2] > 0.0)
-            gate = jnp.where(at["is_mic"], g[0] > 0.0, pos_all)
+            # logical form: a bool-valued where lowers to an i8->i1 trunc
+            # Mosaic rejects
+            gate = (at["is_mic"] & (g[0] > 0.0)) | (~at["is_mic"] & pos_all)
             # cos_theta_max toward the hit sphere (cosinethetaMax)
             hcx = [hc[i] - xs[i] for i in range(3)]
             n2 = jnp.maximum(dot3(hcx, hcx), 1e-20)
@@ -640,7 +642,8 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
             return o, d, tp, L, alive2, depth, samples, it
 
         def loop_body(state):
-            o, d, tp, L, alive, depth, samples, it, rngs = state
+            o, d, tp, L, alive_i, depth, samples, it, rngs = state
+            alive = alive_i > 0      # carried as i32: Mosaic cannot yield i1
             rng = Pcg(rngs)
             # regenerate dead lanes with samples remaining
             need = (~alive) & (samples < spp)
@@ -657,7 +660,8 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                 rng, (o, d, tp, L, alive, depth, samples, it))
             finished = was_alive & ~alive
             samples = samples + finished.astype(jnp.int32)
-            return o, d, tp, L, alive, depth, samples, it + 1, rng.s
+            return (o, d, tp, L, alive.astype(jnp.int32), depth, samples,
+                    it + 1, rng.s)
 
         def loop_cond(state):
             samples, it = state[6], state[7]
@@ -673,7 +677,7 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
         rngs0 = rngs0 * jnp.int32(747796405) + jnp.int32(-1403630843)
         state = (
             [z, z, z], [z, z, 1.0 + z], [z, z, z], [z, z, z],
-            jnp.zeros((R, 128), jnp.bool_),
+            jnp.zeros((R, 128), jnp.int32),   # alive mask as i32 (see above)
             jnp.zeros((R, 128), jnp.int32),
             jnp.zeros((R, 128), jnp.int32),
             jnp.asarray(0, jnp.int32),
