@@ -38,11 +38,26 @@ def _probe_mean(integrator, spp, max_bounces=24, seed=0):
 def test_estimator_agreement_free():
     """implicit_free and explicit_free estimate the same integral — the
     reference keeps the implicit tracers exactly for this comparison
-    (vptShadeMethods.h:815-816, 939)."""
-    a = _probe_mean("explicit_free", spp=96)
-    b = _probe_mean("implicit_free", spp=512)
-    # image means agree within MC error (implicit is high variance)
-    assert np.isclose(a.mean(), b.mean(), rtol=0.25), (a.mean(), b.mean())
+    (vptShadeMethods.h:815-816, 939). In the Cornell box the implicit
+    estimator's raw mean is dominated by a heavy throughput tail
+    ((sigma_s/sigma_t)/cp = 1.5x per medium bounce, unbounded depth), so the
+    comparison runs in an open scene (one area light in fog) where paths
+    escape quickly and the implicit mean actually converges."""
+    # a LARGE nearby light: the implicit estimator only learns from exact
+    # emitter hits, so its convergence rate is the light's solid angle
+    open_scene = vpt.make_scene(
+        [(30.0, (0.0, 11.0, 120.0), (0, 0, 0), (8, 7, 6), 0,
+          (0, 0, 0), (0, 0, 0), 0.0)],
+        sigma_a=0.002, sigma_s=0.012,
+    )
+    def probe(integrator, spp):
+        cfg = vpt.RenderConfig(width=24, height=18, spp=spp,
+                               integrator=integrator, max_bounces=24,
+                               chunk_pixels=432, renderer="scan")
+        return np.asarray(vpt.render(open_scene, CAM, cfg))
+    a = probe("explicit_free", 64)
+    b = probe("implicit_free", 512)
+    assert np.isclose(a.mean(), b.mean(), rtol=0.2), (a.mean(), b.mean())
 
 
 @pytest.mark.slow

@@ -101,22 +101,33 @@ def make_train_step(
         def loss_fn(params):
             sc, cm = apply_params(scene, camera, params)
 
-            def one_sample(acc, s):
-                ks = rng.fold(kshard, s)
-                o, d = cam.rays_for_pixels(cm, width, height, pixel_ids, ks, True)
-                L = engine.trace(sc, spec, o + vary, d + vary, ks,
-                                 differentiable=True)
-                return acc + L, None
+            def estimate(salt, n):
+                def one_sample(acc, s):
+                    ks = rng.fold(kshard, salt, s)
+                    o, d = cam.rays_for_pixels(cm, width, height, pixel_ids,
+                                               ks, True)
+                    L = engine.trace(sc, spec, o + vary, d + vary, ks,
+                                     differentiable=True)
+                    return acc + L, None
 
-            acc, _ = jax.lax.scan(
-                one_sample,
-                jnp.zeros((pixel_ids.shape[0], 3), target.dtype) + vary,
-                jnp.arange(spp_local, dtype=jnp.int32),
-            )
-            # cross-shard pixel estimate: mean over the sample axis is INSIDE
-            # the loss so its gradient flows to every sample shard
-            est = jax.lax.pmean(acc / spp_local, SAMPLE_AXIS)
-            err = jnp.mean((est - target) ** 2)
+                acc, _ = jax.lax.scan(
+                    one_sample,
+                    jnp.zeros((pixel_ids.shape[0], 3), target.dtype) + vary,
+                    jnp.arange(n, dtype=jnp.int32),
+                )
+                # cross-shard pixel estimate: the mean over the sample axis
+                # is INSIDE the loss so its gradient reaches every shard
+                return jax.lax.pmean(acc / n, SAMPLE_AXIS)
+
+            # A/B unbiased MSE: E[(A - t)(B - t)] = (E[est] - t)^2 exactly —
+            # a single-estimate squared error also descends on the
+            # ESTIMATOR'S VARIANCE (E[(A-t)^2] = bias^2 + Var/n), which at
+            # low spp can dominate and pull parameters AWAY from the truth
+            n_a = max(spp_local // 2, 1)
+            n_b = max(spp_local - n_a, 1)
+            est_a = estimate(0x0A, n_a)
+            est_b = estimate(0x0B, n_b)
+            err = jnp.mean((est_a - target) * (est_b - target))
             return jax.lax.pmean(err, DATA_AXIS)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

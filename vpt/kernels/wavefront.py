@@ -84,6 +84,7 @@ def _scene_consts(scene: Scene):
 
 def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                         spp: int, *, nee: bool = True,
+                        distance: str = "free",
                         continue_prob: float = 0.6, max_bounces: int = 32,
                         tile_rows: int = 128, jitter: bool = True,
                         interpret: bool = False):
@@ -598,9 +599,31 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
             prob_source = 1.0 / n_em
 
             u_dist = rng()
-            d_s = -jnp.log1p(-u_dist) / sigma_t
-            surface = (d_s > t_eff) & hit
-            xt = [o[i] + d_s * d[i] for i in range(3)]
+            if distance == "free":
+                d_s = -jnp.log1p(-u_dist) / sigma_t
+                surface = (d_s > t_eff) & hit
+                xt = [o[i] + d_s * d[i] for i in range(3)]
+                pdf_success = None          # PBRT cancellation: not needed
+                t_xt = None
+            else:
+                # equi-angular (equiAngularParams2 + sample/pdf,
+                # volumetricBasicFunctions.h:209-223, vptSamplingFunctions.h:54-62)
+                lo = [lc[i] - o[i] for i in range(3)]
+                delta = dot3(lo, d)
+                D = jnp.sqrt(jnp.maximum(dot3(lo, lo) - delta * delta, 1e-12))
+                th_a = jnp.arctan2(-delta, D)
+                th_b = jnp.arctan2(t_eff - delta, D)
+                sample_t = D * jnp.tan((1.0 - u_dist) * th_a + u_dist * th_b)
+                d_along = sample_t + delta
+                xt = [o[i] + d_along * d[i] for i in range(3)]
+                dist_pdf = D / (jnp.maximum(jnp.abs(th_b - th_a), 1e-12)
+                                * (sample_t * sample_t + D * D))
+                tr_actual = jnp.where(hit, jnp.exp(-sigma_t * t), 0.0)
+                u_ev = rng()
+                surface = (u_ev <= tr_actual) & hit
+                # pSuccess = pdf * (1 - Tr) (vptShadeMethods.h:1093)
+                pdf_success = dist_pdf * jnp.maximum(1.0 - tr_actual, 1e-20)
+                t_xt = jnp.exp(-sigma_t * jnp.abs(d_along))
 
             em_hit = surface & at["is_em"]
             credit = alive & em_hit & (depth == 0) if nee else alive & em_hit
@@ -626,13 +649,29 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
             medium = alive & ~surface
             u_p1, u_p2 = rng(), rng()
             wi_m = uniform_sphere(u_p1, u_p2)
-            if nee:
-                ld_med = medium_nee(rng, xt, lc, lrad, lr, lid)
-                for i in range(3):
-                    L[i] = L[i] + jnp.where(
-                        medium, ld_med[i] / prob_source * tp[i] * (albedo_ratio / cp),
-                        0.0)
-            tp_medium = [tp[i] * (albedo_ratio / cp) for i in range(3)]
+            if distance == "free":
+                # free-flight: transmittance/pdf cancel analytically (the
+                # PBRT simplification, vptShadeMethods.h:1248) — only
+                # sigma_s/sigma_t survives
+                if nee:
+                    ld_med = medium_nee(rng, xt, lc, lrad, lr, lid)
+                    for i in range(3):
+                        L[i] = L[i] + jnp.where(
+                            medium,
+                            ld_med[i] / prob_source * tp[i] * (albedo_ratio / cp),
+                            0.0)
+                tp_medium = [tp[i] * (albedo_ratio / cp) for i in range(3)]
+            else:
+                # equi-angular: T and pdf appear explicitly
+                # (vptShadeMethods.h:1134-1146)
+                w_med = sc["sigma_s"] * t_xt / (cp * pdf_success)
+                if nee:
+                    ld_med = medium_nee(rng, xt, lc, lrad, lr, lid)
+                    scale = t_xt * sc["sigma_s"] / prob_source / (pdf_success * cp)
+                    for i in range(3):
+                        L[i] = L[i] + jnp.where(
+                            medium, ld_med[i] * scale * tp[i], 0.0)
+                tp_medium = [tp[i] * w_med for i in range(3)]
 
             o = sel3(shade, xs, sel3(medium, xt, o))
             d = sel3(shade, wi_s, sel3(medium, wi_m, d))
@@ -719,12 +758,23 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
     return run
 
 
+# integrator name -> (nee, distance) for the kernel's supported subset
+PALLAS_INTEGRATORS = {
+    "explicit_free": (True, "free"),
+    "iterative_vpt_free": (True, "free"),
+    "implicit_free": (False, "free"),
+    "explicit_equiangular": (True, "equiangular"),
+    "mis_hybrid": (True, "equiangular"),
+}
+
+
 def render_pallas(scene: Scene, camera, cfg, seed: int | None = None,
                   interpret: bool = False):
     """Render with the fused Pallas kernel; returns (H, W, 3)."""
+    nee, distance = PALLAS_INTEGRATORS[cfg.integrator]
     run = build_tile_renderer(
         scene, camera, cfg.width, cfg.height, cfg.spp,
-        nee=(cfg.integrator in ("explicit_free", "iterative_vpt_free")),
+        nee=nee, distance=distance,
         continue_prob=cfg.continue_prob, max_bounces=cfg.max_bounces,
         jitter=cfg.jitter, interpret=interpret,
     )
