@@ -310,6 +310,10 @@ def trace(scene: Scene, spec: IntegratorSpec, o, d, key,
     # small tags off the same key
     key = rng.fold(key, 0x74726163)
     if differentiable:
+        # remat each bounce: storing every bounce's dozens of (N,·)
+        # intermediates for the backward pass is HBM-bound; recomputing a
+        # bounce from its 16-float/lane carry is far cheaper
+        @jax.checkpoint
         def body(carry, bounce):
             return bounce_step(scene, spec, bounce, key, carry), None
 
