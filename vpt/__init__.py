@@ -13,5 +13,6 @@ from .api.config import RenderConfig
 from .api.render import render, trace_rays
 from .scene.scene import Scene, Medium, SCENES, cornell_vpt, make_scene
 from .scene.camera import Camera, default_camera
+from .dist import fit  # inverse rendering
 
 __version__ = "0.1.0"
