@@ -27,6 +27,12 @@ REF_PATHS_PER_SEC = 1.318e6
 
 def main():
     import jax
+
+    try:  # persistent compile cache: tunnel compiles take minutes
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
     import vpt
 
     quick = "--quick" in sys.argv
