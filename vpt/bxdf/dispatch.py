@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..core import vecmath as vm
 from ..sampling import directional as ds
-from ..scene.scene import Scene, LAMBERT, MICROFACET, DIELECTRIC
+from ..scene.scene import Scene, MICROFACET, DIELECTRIC
 from . import dielectric as dl
 from . import microfacet as mf
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax
 import numpy as np
 
-from .mesh import DATA_AXIS, SAMPLE_AXIS, make_mesh
+from .mesh import make_mesh
 
 __all__ = ["initialize", "global_mesh", "assemble_image"]
 

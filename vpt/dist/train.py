@@ -14,7 +14,6 @@ replicated — the parameter pytree is a few hundred floats.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -33,7 +33,6 @@ carries the gradient.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

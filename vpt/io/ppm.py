@@ -15,8 +15,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core import vecmath as vm
-
 __all__ = ["tonemap", "write_ppm", "read_ppm", "native_available"]
 
 try:

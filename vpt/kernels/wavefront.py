@@ -30,7 +30,6 @@ The kernel is forward-only; differentiable renders use the XLA engine.
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -38,8 +37,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..scene.scene import (DIELECTRIC, LAMBERT, MICROFACET, Scene,
-                           VOLUME_BOUNDARY)
+from ..scene.scene import DIELECTRIC, MICROFACET, Scene, VOLUME_BOUNDARY
 
 __all__ = ["build_tile_renderer", "render_pallas"]
 

@@ -35,8 +35,7 @@ from ..bxdf import dielectric as dl
 from ..bxdf import microfacet as mfac
 from ..geometry import intersect as geo
 from ..sampling import directional as ds
-from ..scene.scene import Scene, LAMBERT, MICROFACET, DIELECTRIC
-from . import medium as med
+from ..scene.scene import Scene, MICROFACET, DIELECTRIC
 
 __all__ = ["power_heuristic", "mis", "mis_v2"]
 

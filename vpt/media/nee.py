@@ -12,7 +12,6 @@ import math
 import jax.numpy as jnp
 
 from ..core import vecmath as vm
-from ..bxdf import dispatch as bx
 from ..bxdf import microfacet as mf
 from ..geometry import intersect as geo
 from ..sampling import directional as ds
