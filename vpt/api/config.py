@@ -31,7 +31,9 @@ class RenderConfig:
     chunk_pixels: int = 65536
     dtype: str = "float32"       # "float64" for CPU oracle-parity runs
     jitter: bool = True
-    # "persistent": path-regeneration wavefront (fast, volume integrators
-    # only); "scan": per-sample masked wavefront (all integrators, reverse-
-    # mode friendly); "auto" picks persistent when eligible.
+    # "pallas": the fused TPU kernel (fastest; free-flight/equi-angular
+    # families, forward-only); "persistent": path-regeneration wavefront
+    # (fast, volume integrators); "scan": per-sample masked wavefront (all
+    # integrators, reverse-mode friendly); "auto" picks persistent when
+    # eligible.
     renderer: str = "auto"

@@ -180,6 +180,15 @@ def render(scene: Scene, camera: cam.Camera, cfg: RenderConfig,
         key = jax.random.PRNGKey(cfg.seed)
     from ..integrators.volume import VOLUME_INTEGRATORS as _VOL
 
+    if cfg.renderer == "pallas":
+        if differentiable:
+            raise ValueError(
+                "the fused pallas kernel is forward-only; use renderer='scan' "
+                "for differentiable renders")
+        from ..kernels.wavefront import render_pallas
+
+        return render_pallas(scene, camera, cfg)
+
     use_persistent = cfg.renderer == "persistent" or (
         cfg.renderer == "auto"
         and not differentiable
