@@ -332,7 +332,8 @@ def trace(scene: Scene, spec: IntegratorSpec, o, d, key,
 
 
 def render_persistent(scene: Scene, spec: IntegratorSpec, camera, width, height,
-                      pixel_ids, spp: int, key, jitter: bool = True):
+                      pixel_ids, spp: int, key, jitter: bool = True,
+                      differentiable: bool = False):
     """Persistent-wavefront renderer with path regeneration.
 
     One lane per pixel; when a lane's path terminates (RR kill, emitter hit,
@@ -344,9 +345,18 @@ def render_persistent(scene: Scene, spec: IntegratorSpec, camera, width, height,
     ~10x waste the reference's scalar loop (vptShadeMethods.h:1278) never
     pays because each CPU path stops exactly when it dies.
 
+    differentiable=True runs a FIXED number of regeneration iterations under
+    lax.scan with per-iteration remat (reverse-mode friendly): enough for
+    spp geometric(1-cp) path lengths plus a 6-sigma tail, so the residual
+    unfinished-sample mass is far below MC noise (same truncation class as
+    max_bounces). Lane utilization stays ~spp*E[len]/K vs the per-sample
+    scan's spp*max_bounces iterations.
+
     Returns summed radiance per lane, (N, 3) — divide by spp for the pixel
     estimate.
     """
+    import math as _math
+
     from ..scene import camera as cam_mod
 
     N = pixel_ids.shape[0]
@@ -387,6 +397,30 @@ def render_persistent(scene: Scene, spec: IntegratorSpec, camera, width, height,
             jnp.where(alive, depth + 1, depth),
             samples_done + finished.astype(samples_done.dtype),
         )
+
+    if differentiable:
+        cp = spec.continue_prob
+        mean_len = 1.0 / max(1.0 - cp, 1e-3)
+        sigma_len = _math.sqrt(spp * cp) / max(1.0 - cp, 1e-3)
+        k_iters = min(int(_math.ceil(spp * mean_len + 6.0 * sigma_len + 8)),
+                      max_iters)
+
+        def scan_step(carry, it):
+            st, depth, samples_done = carry
+            _, st, depth, samples_done = body((it, st, depth, samples_done))
+            return (st, depth, samples_done), None
+
+        scan_step = jax.checkpoint(scan_step)
+        init = (PathState(
+            o=jnp.zeros((N, 3), scene.radius.dtype),
+            d=jnp.zeros((N, 3), scene.radius.dtype).at[:, 2].set(1.0),
+            tp=jnp.ones((N, 3), scene.radius.dtype),
+            L=jnp.zeros((N, 3), scene.radius.dtype),
+            alive=jnp.zeros((N,), bool),
+        ), jnp.zeros((N,), jnp.int32), jnp.zeros((N,), jnp.int32))
+        (st, _, _), _ = jax.lax.scan(
+            scan_step, init, jnp.arange(k_iters, dtype=jnp.int32))
+        return st.L
 
     o0 = jnp.zeros((N, 3), scene.radius.dtype)
     st = PathState(
