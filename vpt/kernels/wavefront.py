@@ -336,6 +336,27 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
     def cone_pdf(cos_max):
         return 1.0 / (TWO_PI * jnp.maximum(1.0 - cos_max, 1e-12))
 
+    def atan_poly(z):
+        """Minimax atan on |z| <= 1 (max err ~1e-5 rad) — Mosaic lowers no
+        atan/atan2/tan primitives, so the equi-angular path builds its own
+        from polynomial + sin/cos."""
+        z2 = z * z
+        return z * (0.99997726 + z2 * (-0.33262347 + z2 * (
+            0.19354346 + z2 * (-0.11643287 + z2 * (
+                0.05265332 + z2 * -0.01172120)))))
+
+    def atan2_posx(y, x):
+        """atan2(y, x) for x > 0 (the equi-angular D is floored positive)."""
+        z = y / x
+        inv = jnp.abs(z) > 1.0
+        zz = jnp.where(inv, 1.0 / jnp.where(z != 0.0, z, 1.0), z)
+        p = atan_poly(zz)
+        sgn = jnp.where(z >= 0.0, 1.0, -1.0)
+        return jnp.where(inv, sgn * (math.pi / 2.0) - p, p)
+
+    def tan_sc(t):
+        return jnp.sin(t) / jnp.cos(t)
+
     def cosine_hemi(n, u1, u2):
         ct = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
         st = jnp.sqrt(jnp.maximum(u1, 0.0))
@@ -609,9 +630,9 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                 lo = [lc[i] - o[i] for i in range(3)]
                 delta = dot3(lo, d)
                 D = jnp.sqrt(jnp.maximum(dot3(lo, lo) - delta * delta, 1e-12))
-                th_a = jnp.arctan2(-delta, D)
-                th_b = jnp.arctan2(t_eff - delta, D)
-                sample_t = D * jnp.tan((1.0 - u_dist) * th_a + u_dist * th_b)
+                th_a = atan2_posx(-delta, D)
+                th_b = atan2_posx(t_eff - delta, D)
+                sample_t = D * tan_sc((1.0 - u_dist) * th_a + u_dist * th_b)
                 d_along = sample_t + delta
                 xt = [o[i] + d_along * d[i] for i in range(3)]
                 dist_pdf = D / (jnp.maximum(jnp.abs(th_b - th_a), 1e-12)
