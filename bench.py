@@ -1,15 +1,23 @@
 """Benchmark: camera-paths/sec on the flagship integrator (explicit_free ==
-the reference's active iterativeVPTracerFree) on one chip, using the
-persistent-wavefront (path-regeneration) renderer.
+the reference's active iterativeVPTracerFree) on one chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+The default (forward) run uses the fused Pallas kernel
+(kernels/wavefront.py) and ALSO measures the differentiable custom-VJP
+kernel pair (kernels/diff.py) fwd+bwd at the same workload, reported in the
+extra keys "fwd_bwd_paths_per_sec" / "fwd_bwd_vs_baseline" so one line
+carries both BASELINE.json north-star metrics. `--bwd` makes the fwd+bwd
+number the headline metric instead.
 
 vs_baseline compares against the rebuilt reference renderer's measured CPU
 throughput on this machine (g++ -O3 -fopenmp, 4 threads; 1024*768*32 spp in
-19.09 s = 1.318e6 camera paths/s — see BASELINE.md).
+19.09 s = 1.318e6 camera paths/s — see BASELINE.md). The reference has no
+gradient path at all, so the fwd+bwd number is compared against the same
+forward-only CPU baseline (the only number that exists).
 
-Usage: python bench.py [--quick]
+Usage: python bench.py [--quick] [--bwd] [--no-bwd]
   --quick: 512x512 @ 16 spp (compile-cache-friendly smoke)
   default: the north-star workload, 1024x1024 @ 64 spp
 """
@@ -25,6 +33,18 @@ import numpy as np
 REF_PATHS_PER_SEC = 1.318e6
 
 
+def _timed(fn, n=3):
+    import jax
+
+    best = 1e9
+    for i in range(n):
+        t0 = time.time()
+        out = fn(2 + i)
+        jax.tree_util.tree_map(np.asarray, out)   # axon: block_until_ready no-ops
+        best = min(best, time.time() - t0)
+    return best
+
+
 def main():
     import jax
 
@@ -33,16 +53,22 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     except Exception:
         pass
+    import jax.numpy as jnp
+
     import vpt
 
     quick = "--quick" in sys.argv
+    bwd_headline = "--bwd" in sys.argv
+    measure_bwd = "--no-bwd" not in sys.argv
     width = int(os.environ.get("BENCH_WIDTH", 512 if quick else 1024))
     height = int(os.environ.get("BENCH_HEIGHT", 512 if quick else 1024))
     spp = int(os.environ.get("BENCH_SPP", 16 if quick else 64))
 
     scene = vpt.cornell_vpt()
     camera = vpt.default_camera()
+    n_paths = width * height * spp
 
+    # ---- forward: fused Pallas kernel (XLA engine fallback) --------------
     render = None
     if os.environ.get("BENCH_BACKEND", "pallas") == "pallas":
         try:
@@ -63,26 +89,51 @@ def main():
         render = lambda seed: np.asarray(
             vpt.render(scene, camera, cfg, key=jax.random.PRNGKey(seed)))
 
-    # warmup / compile (same shapes as the timed run); the axon tunnel adds
-    # multi-second first-dispatch latency, so warm twice and take the best
-    # of three timed runs
     img = render(0)
     assert np.isfinite(img).all(), "non-finite pixels"
     render(1)
+    fwd_rate = n_paths / _timed(render)
 
-    dt = min(
-        (lambda t0: (render(2 + i), time.time() - t0)[1])(time.time())
-        for i in range(3)
-    )
+    # ---- fwd+bwd: custom-VJP fused kernel pair ---------------------------
+    bwd_rate = None
+    if measure_bwd:
+        try:
+            from vpt.kernels.diff import make_diff_renderer, pack_params
 
-    n_paths = width * height * spp
-    value = n_paths / dt
-    print(json.dumps({
-        "metric": "render_throughput_fwd",
-        "value": round(value, 1),
-        "unit": "camera_paths/sec/chip",
-        "vs_baseline": round(value / REF_PATHS_PER_SEC, 4),
-    }))
+            drender = make_diff_renderer(scene, camera, width, height, spp,
+                                         max_bounces=32)
+            params = pack_params(scene)
+            vg = jax.jit(jax.value_and_grad(
+                lambda p, s: jnp.mean(drender(p, s))))
+            v, g = vg(params, jnp.int32(0))
+            assert np.isfinite(float(v))
+            assert all(np.isfinite(np.asarray(x)).all()
+                       for x in jax.tree_util.tree_leaves(g))
+            bwd_rate = n_paths / _timed(lambda s: vg(params, jnp.int32(s)))
+        except Exception as e:
+            print(f"# diff kernel unavailable ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+
+    if bwd_headline and bwd_rate is not None:
+        out = {
+            "metric": "render_throughput_fwd_bwd",
+            "value": round(bwd_rate, 1),
+            "unit": "camera_paths/sec/chip",
+            "vs_baseline": round(bwd_rate / REF_PATHS_PER_SEC, 4),
+            "fwd_paths_per_sec": round(fwd_rate, 1),
+            "fwd_vs_baseline": round(fwd_rate / REF_PATHS_PER_SEC, 4),
+        }
+    else:
+        out = {
+            "metric": "render_throughput_fwd",
+            "value": round(fwd_rate, 1),
+            "unit": "camera_paths/sec/chip",
+            "vs_baseline": round(fwd_rate / REF_PATHS_PER_SEC, 4),
+        }
+        if bwd_rate is not None:
+            out["fwd_bwd_paths_per_sec"] = round(bwd_rate, 1)
+            out["fwd_bwd_vs_baseline"] = round(bwd_rate / REF_PATHS_PER_SEC, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,117 @@
+"""Differentiable fused Pallas kernel (kernels/diff.py): correctness of the
+custom-VJP forward/backward pair in interpret mode.
+
+Contracts:
+  1. the diff forward (params from SMEM) reproduces the baked forward kernel
+     bit-near-exactly at the scene's own parameter values (same PCG streams);
+  2. albedo/radiance gradients are EXACT per-seed: no sampling decision
+     depends on them, so fixed-seed finite differences of the kernel itself
+     must match the hand-accumulated backward;
+  3. sigma gradients match the XLA engine's sigma_score estimator
+     (engine.IntegratorSpec(sigma_score=True)) statistically — both are
+     unbiased estimators of the same derivative (detached geometry +
+     score-function event terms, see kernels/diff.py docstring).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vpt
+from vpt.integrators import engine
+from vpt.kernels.diff import make_diff_renderer, pack_params
+from vpt.kernels.wavefront import build_tile_renderer
+from vpt.scene import camera as cam
+
+SCENE = vpt.cornell_vpt()
+CAM = vpt.default_camera()
+W, H, SPP = 16, 12, 4
+
+
+@pytest.fixture(scope="module")
+def render():
+    return make_diff_renderer(SCENE, CAM, W, H, SPP, max_bounces=8,
+                              tile_rows=8, interpret=True)
+
+
+def test_diff_fwd_matches_baked_kernel(render):
+    img = np.asarray(render(pack_params(SCENE), 3))
+    run_ref = build_tile_renderer(SCENE, CAM, W, H, SPP, max_bounces=8,
+                                  tile_rows=8, interpret=True)
+    ref = np.asarray(run_ref(3))
+    assert np.isfinite(img).all()
+    assert np.abs(img - ref).max() < 1e-5 * max(1.0, np.abs(ref).max())
+
+
+@pytest.mark.parametrize("leaf,index,eps", [
+    ("albedo", (6, 2), 1e-3),     # blue sphere blue channel
+    ("albedo", (0, 0), 1e-3),     # left wall
+    ("radiance", (9, 0), 1e-2),   # area light power
+    ("radiance", (7, 0), 1.0),    # the (6000,0,0) point light
+])
+def test_albedo_radiance_grads_exact_per_seed(render, leaf, index, eps):
+    params = pack_params(SCENE)
+
+    def loss(p):
+        return jnp.mean(render(p, 3))
+
+    g = float(np.asarray(jax.grad(loss)(params)[leaf])[index])
+
+    def bump(e):
+        p = dict(params)
+        p[leaf] = params[leaf].at[index].set(params[leaf][index] + e)
+        return float(loss(p))
+
+    fd = (bump(eps) - bump(-eps)) / (2 * eps)
+    assert np.isfinite(g) and np.isfinite(fd)
+    assert np.isclose(g, fd, rtol=3e-2, atol=1e-7), (g, fd)
+
+
+@pytest.mark.slow
+def test_sigma_grads_match_engine_score_estimator(render):
+    """E[d(mean image)/d sigma] agrees between the fused backward kernel and
+    the XLA engine's sigma_score estimator within combined standard error.
+    Different RNG backends (PCG vs threefry), same estimator — statistical."""
+    params = pack_params(SCENE)
+
+    gk = jax.jit(jax.grad(lambda p, s: jnp.mean(render(p, s))),
+                 static_argnums=1)
+    kernel_sa, kernel_ss = [], []
+    for i in range(24):
+        g = gk(params, 1000 + i)
+        kernel_sa.append(float(g["sigma_a"]))
+        kernel_ss.append(float(g["sigma_s"]))
+
+    spec = engine.IntegratorSpec(max_bounces=8, sigma_score=True)
+    ids = jnp.arange(W * H, dtype=jnp.int32)
+
+    @jax.jit
+    def eng_grad(key):
+        def loss(sig):
+            import dataclasses
+            from vpt.scene.scene import Medium
+            sc = dataclasses.replace(SCENE, medium=Medium(sig[0], sig[1]))
+            # SPP camera samples per pixel like the kernel
+            def one(acc, s):
+                ks = jax.random.fold_in(key, s)
+                o, d = cam.rays_for_pixels(CAM, W, H, ids, ks, True)
+                return acc + engine.trace(sc, spec, o, d, ks,
+                                          differentiable=True), None
+            acc, _ = jax.lax.scan(one, jnp.zeros((W * H, 3)),
+                                  jnp.arange(SPP))
+            return jnp.mean(acc / SPP)
+        return jax.grad(loss)(jnp.asarray(
+            [SCENE.medium.sigma_a, SCENE.medium.sigma_s]))
+
+    eng_sa, eng_ss = [], []
+    for i in range(24):
+        g = np.asarray(eng_grad(jax.random.PRNGKey(500 + i)))
+        eng_sa.append(g[0])
+        eng_ss.append(g[1])
+
+    for k_vals, e_vals, name in ((kernel_sa, eng_sa, "sigma_a"),
+                                 (kernel_ss, eng_ss, "sigma_s")):
+        km, ks_ = np.mean(k_vals), np.std(k_vals) / np.sqrt(len(k_vals))
+        em, es = np.mean(e_vals), np.std(e_vals) / np.sqrt(len(e_vals))
+        tol = 4.0 * np.hypot(ks_, es) + 0.05 * max(abs(km), abs(em))
+        assert abs(km - em) < tol, (name, km, ks_, em, es)

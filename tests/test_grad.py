@@ -138,6 +138,99 @@ def test_inverse_rendering_recovers_albedo():
         f"{true_albedo:.4f}")
 
 
+def test_sigma_score_value_invariant():
+    """sigma_score multiplies contributions by 1 + S - stop_grad(S): the
+    VALUE must be bit-identical to the plain estimator."""
+    params = scene_params(SCENE, CAM)
+    a = float(_loss(params, engine.IntegratorSpec(max_bounces=6)))
+    b = float(_loss(params, engine.IntegratorSpec(max_bounces=6,
+                                                  sigma_score=True)))
+    assert a == b
+
+
+@pytest.mark.slow
+def test_sigma_grad_statistical_fd_cornell():
+    """FD check of dL/d sigma_s in a scene WITH surfaces (the Cornell
+    scene): the detached estimator drops the surface/medium boundary terms
+    (biased), the score estimator keeps them. Compared statistically —
+    E[grad] over K seeds vs central FD of the seed-averaged loss with
+    common random numbers (per-seed FD is ill-defined: a sigma bump flips
+    discrete events)."""
+    import dataclasses
+    from vpt.scene.scene import Medium
+
+    spec = engine.IntegratorSpec(max_bounces=8, sigma_score=True)
+    ids = jnp.arange(1024, dtype=jnp.int32)
+    s0 = float(SCENE.medium.sigma_s)
+
+    def loss(sigma_s, key):
+        sc = dataclasses.replace(
+            SCENE, medium=Medium(SCENE.medium.sigma_a, sigma_s))
+        o, d = cam.rays_for_pixels(CAM, 32, 32, ids, key, True)
+        return jnp.mean(engine.trace(sc, spec, o, d, key,
+                                     differentiable=True))
+
+    gfn = jax.jit(jax.grad(loss))
+    lfn = jax.jit(loss)
+    K, eps = 150, 2e-3
+    gs, fds = [], []
+    for i in range(K):
+        k = jax.random.PRNGKey(300 + i)
+        gs.append(float(gfn(s0, k)))
+        fds.append((float(lfn(s0 + eps, k)) - float(lfn(s0 - eps, k)))
+                   / (2 * eps))
+    g, se_g = np.mean(gs), np.std(gs) / np.sqrt(K)
+    fd, se_fd = np.mean(fds), np.std(fds) / np.sqrt(K)
+    assert np.isfinite(g) and np.isfinite(fd)
+    tol = 4.0 * np.hypot(se_g, se_fd) + 0.05 * abs(fd)
+    assert abs(g - fd) < tol, (g, se_g, fd, se_fd)
+
+
+@pytest.mark.slow
+def test_inverse_rendering_recovers_sigma():
+    """End-to-end BASELINE.json config #5 flagship: recover the scattering
+    coefficient (the reference's whole reason to exist — sigma estimation,
+    src/rt.cpp:794) from a rendered target in the CORNELL scene via the SPMD
+    train step with score-function sigma gradients (sigma_score=True).
+    Decaying LR + Polyak tail-averaging tame the score-estimator noise."""
+    import optax
+    from vpt.dist import make_mesh, make_train_step
+
+    mesh = make_mesh(jax.devices()[:2], sample_shards=1)
+    spec = engine.IntegratorSpec(max_bounces=5, sigma_score=True)
+    W = H = 16
+    cfg_target = vpt.RenderConfig(width=W, height=H, spp=128, max_bounces=5,
+                                  chunk_pixels=W * H)
+    target = vpt.render(SCENE, CAM, cfg_target)
+
+    true_ss = float(SCENE.medium.sigma_s)        # 0.009
+    start = 0.025                                # ~3x too high
+    npix = W * H
+    pixel_ids = jnp.arange(npix, dtype=jnp.int32)
+    target_flat = jnp.asarray(np.asarray(target).reshape(npix, 3))
+
+    optimizer = optax.adam(optax.exponential_decay(1.5e-3, 10, 0.8))
+    params = scene_params(SCENE, CAM)
+    params["sigma_s"] = jnp.asarray(start, jnp.float32)
+    frozen = dict(params)
+    opt_state = optimizer.init(params)
+    step = make_train_step(mesh, spec, W, H, 32, optimizer)
+    hist = []
+    for i in range(120):
+        params, opt_state, _ = step(
+            params, opt_state, SCENE, CAM, target_flat, pixel_ids,
+            jax.random.fold_in(KEY, i))
+        params = {**frozen,
+                  "sigma_s": jnp.clip(params["sigma_s"], 1e-4, 0.2)}
+        hist.append(float(params["sigma_s"]))
+    recovered = float(np.mean(hist[-20:]))
+    start_err = abs(start - true_ss)
+    end_err = abs(recovered - true_ss)
+    assert end_err < 0.4 * start_err, (
+        f"sigma_s {recovered:.5f} did not recover toward {true_ss:.5f} "
+        f"(start err {start_err:.5f}, end err {end_err:.5f})")
+
+
 def test_differentiable_persistent_matches_while_loop():
     """The fixed-iteration differentiable persistent renderer is the same
     estimator as the while_loop one (identical RNG streams when the

@@ -73,6 +73,22 @@ class IntegratorSpec:
     # Emitter-hit policy: explicit integrators only credit depth 0
     # (vptShadeMethods.h:1308-1313); implicit ones credit at any depth
     # (vptShadeMethods.h:981-983).
+    # Score-function (likelihood-ratio) sigma gradients. The detached-
+    # sampling estimator drops the boundary terms of the surface/medium
+    # event probabilities (pdfSuccess/pdfFailure, vptSamplingFunctions.h:
+    # 24-31), which biases d/d(sigma) enough to break sigma inverse
+    # rendering. With sigma_score=True the sampled distances are DETACHED
+    # (no reparameterized-geometry gradient) and every radiance
+    # contribution c_k is multiplied by (1 + S_k - stop_grad(S_k)), where
+    # S_k is the path's accumulated log-density of all sigma-dependent
+    # sampling decisions up to bounce k:
+    #   free-flight   medium:  log(sigma_t) - sigma_t * d_s
+    #                 surface: -sigma_t * t
+    #   equi-angular  medium:  log(1 - exp(-sigma_t t))   (Bernoulli)
+    #                 surface: -sigma_t * t
+    # The estimator VALUE is unchanged; its sigma-gradient becomes the
+    # unbiased pathwise+score estimator E[dV + V dlog p].
+    sigma_score: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -83,6 +99,7 @@ class PathState:
     tp: jnp.ndarray       # (N, 3) path throughput
     L: jnp.ndarray        # (N, 3) accumulated radiance
     alive: jnp.ndarray    # (N,) bool
+    score: jnp.ndarray    # (N,) accumulated sampling log-density (sigma_score)
 
 
 def init_state(o: jnp.ndarray, d: jnp.ndarray) -> PathState:
@@ -95,6 +112,7 @@ def init_state(o: jnp.ndarray, d: jnp.ndarray) -> PathState:
         tp=jnp.ones_like(o),
         L=jnp.zeros_like(o),
         alive=o[..., 0] == o[..., 0],
+        score=jnp.zeros_like(o[..., 0]),
     )
 
 
@@ -157,6 +175,10 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
     u_dist = rng.uniform(rng.fold(kb, rng.Tag.DISTANCE), (N,), dtype)
     if spec.distance == FREE:
         d_s = dist.free_flight_sample(sigma_t, u_dist)
+        if spec.sigma_score:
+            # geometry detached: the sigma-gradient of the sampling density
+            # is carried by the score term instead of reparameterization
+            d_s = jax.lax.stop_gradient(d_s)
         surface_event = (d_s > t_eff) & hit
         xt = st.o + d_s[:, None] * st.d
         dist_pdf = dist.free_flight_pdf(sigma_t, d_s)
@@ -177,6 +199,27 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
     # pSuccess = dist_pdf * (1 - Tr) (vptShadeMethods.h:977, 1093)
     pdf_success = dist_pdf * jnp.maximum(1.0 - tr_actual, 1e-20)
 
+    # --- score accumulation (see sigma_score on IntegratorSpec) ----------
+    if spec.sigma_score:
+        t_det = jax.lax.stop_gradient(jnp.where(hit, t, 1.0))
+        if spec.distance == FREE:
+            # joint density of the free-flight event: sigma_t e^{-sigma_t d}
+            # (medium, hit or miss) / e^{-sigma_t t} (reached the surface)
+            s_add = jnp.where(
+                surface_event, -sigma_t * t_det,
+                jnp.log(sigma_t) - sigma_t * d_s)
+        else:
+            # Bernoulli(TrActual) event; the EA distance pdf itself is
+            # sigma-independent (vptSamplingFunctions.h:60-62)
+            s_add = jnp.where(
+                surface_event, -sigma_t * t_det,
+                jnp.where(hit, jnp.log1p(-jnp.exp(-sigma_t * t_det)), 0.0))
+        score = st.score + jnp.where(alive, s_add, 0.0)
+        w_sc = (1.0 + score - jax.lax.stop_gradient(score))[:, None]
+    else:
+        score = st.score
+        w_sc = 1.0
+
     # --- SURFACE branch ------------------------------------------------
     em_hit = surface_event & scene.is_emitter()[obj_id]
     depth_v = jnp.asarray(bounce) if depth is None else depth
@@ -186,7 +229,7 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
         credit = em_hit
     L = st.L + jnp.where(
         (alive & credit)[:, None], scene.radiance[obj_id] * st.tp, 0.0
-    )
+    ) * w_sc
     shade = alive & surface_event & ~em_hit
 
     if spec.nee:
@@ -213,7 +256,7 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
         )
         L = L + jnp.where(
             shade[:, None], (ld_partial + ld_mis) * st.tp * (1.0 / cp), 0.0
-        )
+        ) * w_sc
 
     u_b1, u_b2 = rng.uniform(rng.fold(kb, rng.Tag.BSDF), (2, N), dtype)
     u_choice = rng.uniform(rng.fold(kb, rng.Tag.BSDF_CHOICE), (N,), dtype)
@@ -250,7 +293,7 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
                 )
             L = L + jnp.where(
                 medium[:, None], ld_med * st.tp * (albedo_ratio / cp), 0.0
-            )
+            ) * w_sc
             tp_medium = st.tp * (albedo_ratio / cp)
         else:
             # implicit free: sigma_s * T / (cp * ffProb * (1 - Tr))
@@ -279,7 +322,7 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
                 )
             L = L + jnp.where(
                 medium[:, None], ld_med * st.tp / (pdf_success * cp)[:, None], 0.0
-            )
+            ) * w_sc
         w = sigma_s * t_xt / (cp * pdf_success)
         tp_medium = st.tp * w[:, None]
 
@@ -294,6 +337,7 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
         tp=jnp.where(alive_new[:, None], tp_new, st.tp),
         L=L,
         alive=alive_new,
+        score=score,
     )
 
 
@@ -375,6 +419,7 @@ def render_persistent(scene: Scene, spec: IntegratorSpec, camera, width, height,
             tp=jnp.where(need[:, None], 1.0, st.tp),
             L=st.L,
             alive=st.alive | need,
+            score=jnp.where(need, 0.0, st.score),
         )
         return st, jnp.where(need, 0, depth)
 
@@ -390,7 +435,8 @@ def render_persistent(scene: Scene, spec: IntegratorSpec, camera, width, height,
         # "fixed-bound masked loop")
         alive = st2.alive & (depth + 1 < spec.max_bounces)
         finished = st.alive & ~alive
-        st2 = PathState(o=st2.o, d=st2.d, tp=st2.tp, L=st2.L, alive=alive)
+        st2 = PathState(o=st2.o, d=st2.d, tp=st2.tp, L=st2.L, alive=alive,
+                        score=st2.score)
         return (
             it + 1,
             st2,
@@ -417,6 +463,7 @@ def render_persistent(scene: Scene, spec: IntegratorSpec, camera, width, height,
             tp=jnp.ones((N, 3), scene.radius.dtype),
             L=jnp.zeros((N, 3), scene.radius.dtype),
             alive=jnp.zeros((N,), bool),
+            score=jnp.zeros((N,), scene.radius.dtype),
         ), jnp.zeros((N,), jnp.int32), jnp.zeros((N,), jnp.int32))
         (st, _, _), _ = jax.lax.scan(
             scan_step, init, jnp.arange(k_iters, dtype=jnp.int32))
@@ -427,6 +474,7 @@ def render_persistent(scene: Scene, spec: IntegratorSpec, camera, width, height,
         o=o0, d=o0.at[:, 2].set(1.0), tp=jnp.ones_like(o0),
         L=jnp.zeros_like(o0),
         alive=jnp.zeros((N,), bool),   # all dead -> first regen starts sample 0
+        score=jnp.zeros((N,), scene.radius.dtype),
     )
     init = (jnp.asarray(0), st, jnp.zeros((N,), jnp.int32),
             jnp.zeros((N,), jnp.int32))

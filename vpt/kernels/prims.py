@@ -1,0 +1,435 @@
+"""Shared Pallas-kernel primitives for the fused TPU renderers.
+
+Everything here is shape-agnostic (works on any broadcastable f32 arrays, the
+kernels use (R, 128) lane tiles) and Mosaic-lowerable: no atan/tan primitives
+(polynomial atan instead), no uint32<->f32 casts (PCG draws via mantissa
+bitcast), no i1 carries (callers keep masks as i32/f32 where needed).
+
+Scene-dependent helpers take `sc` — the python-constant scene structure from
+`wavefront._scene_consts` — plus, where material/emission VALUES must stay
+differentiable (the diff kernel reads them from SMEM), explicit `alb`/`rad`
+tables: nested tuples alb[s][c] of per-sphere-channel scalars that are python
+floats in the baked kernels and traced SMEM reads in the differentiable ones.
+
+Reference citations live with the algorithms: Sphere.h:27-37 (intersect
+rescue), mathUtilities.h:10-19 (ONB), microFacetUtilities.h (Beckmann /
+Fresnel / the stray -1 refraction quirk at :133), samplingFunctions.h
+(cone/cosine/sphere samplers), pathTracingUtilities.h:39-53 (light->point
+visibility), vptShadeMethods.h:16-59 (bdsf dispatcher).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BIG = 1e8
+EPS_T = 1e-4
+F32EPS = float(np.finfo(np.float32).eps)
+INV_4PI = 1.0 / (4.0 * math.pi)
+TWO_PI = 2.0 * math.pi
+GLASS_ETA_I, GLASS_ETA_T = 1.0, 1.5
+
+
+class Pcg:
+    """Per-lane PCG-RXS-M-XS-32 stream carried through the while loop:
+    identical on TPU and in interpret mode (the hardware PRNG,
+    pltpu.prng_random_bits, is TPU-only), ~10 int VPU ops per draw —
+    far cheaper than a threefry block per uniform. All math is int32
+    (wrapping) because Mosaic has no uint32<->float32 casts; the uniform
+    comes from a mantissa bitcast: 1.0 <= (0x3F8 | mantissa) < 2.0."""
+
+    def __init__(self, state):
+        self.s = state
+
+    def __call__(self):
+        shr = jax.lax.shift_right_logical
+        s = self.s * jnp.int32(747796405) + jnp.int32(-1403630843)
+        self.s = s
+        w = (shr(s, shr(s, jnp.int32(28)) + jnp.int32(4)) ^ s) * jnp.int32(277803737)
+        x = shr(w, jnp.int32(22)) ^ w
+        mant = shr(x, jnp.int32(9)) | jnp.int32(0x3F800000)
+        return jax.lax.bitcast_convert_type(mant, jnp.float32) - 1.0
+
+
+def pcg_seed(lane, seed):
+    """Per-lane initial PCG state: hash(global seed, lane id) + one warmup
+    step to decorrelate the low-entropy init (golden-ratio + murmur3 odd
+    constants as wrapped int32)."""
+    s = (lane * jnp.int32(-1640531527)) ^ (
+        seed * jnp.int32(-2048144789) + jnp.int32(1))
+    return s * jnp.int32(747796405) + jnp.int32(-1403630843)
+
+
+def dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def norm3(a):
+    return jnp.sqrt(jnp.maximum(dot3(a, a), 1e-20))
+
+
+def normalize3(a):
+    inv = jax.lax.rsqrt(jnp.maximum(dot3(a, a), 1e-20))
+    return [a[0] * inv, a[1] * inv, a[2] * inv]
+
+
+def sel3(m, a, b):
+    return [jnp.where(m, a[i], b[i]) for i in range(3)]
+
+
+def scale3(a, k):
+    return [a[0] * k, a[1] * k, a[2] * k]
+
+
+def add3(a, b):
+    return [a[0] + b[0], a[1] + b[1], a[2] + b[2]]
+
+
+def mul3(a, b):
+    return [a[0] * b[0], a[1] * b[1], a[2] * b[2]]
+
+
+def onb(n):
+    """Branch-free coordinateSystem (mathUtilities.h:10-19)."""
+    cond = jnp.abs(n[0]) > jnp.abs(n[1])
+    inv_a = jax.lax.rsqrt(jnp.maximum(n[0] * n[0] + n[2] * n[2], 1e-20))
+    inv_b = jax.lax.rsqrt(jnp.maximum(n[1] * n[1] + n[2] * n[2], 1e-20))
+    z = jnp.zeros_like(n[0])
+    t = [jnp.where(cond, n[2] * inv_a, z),
+         jnp.where(cond, z, n[2] * inv_b),
+         jnp.where(cond, -n[0] * inv_a, -n[1] * inv_b)]
+    s = [t[1] * n[2] - t[2] * n[1],
+         t[2] * n[0] - t[0] * n[2],
+         t[0] * n[1] - t[1] * n[0]]
+    return s, t
+
+
+def to_local(n, w):
+    s, t = onb(n)
+    return normalize3([dot3(w, s), dot3(w, t), dot3(w, n)])
+
+
+def from_local(n, w):
+    s, t = onb(n)
+    return [s[i] * w[0] + t[i] * w[1] + n[i] * w[2] for i in range(3)]
+
+
+# --- scene intersection over baked python-constant geometry ----------------
+
+def sphere_first_t(sc, o, d, s):
+    """Per-sphere nearest-root t with the reference's rescue rule
+    (Sphere.h:27-37), stable quadratic like geometry/intersect.py."""
+    ctr = sc["c"][s]
+    r = float(sc["r"][s])
+    oc = [o[0] - ctr[0], o[1] - ctr[1], o[2] - ctr[2]]
+    b = dot3(oc, d)
+    c0 = dot3(oc, oc) - r * r
+    disc = r * r - (dot3(oc, oc) - b * b)
+    pos = disc > 0.0
+    sq = jnp.sqrt(jnp.where(pos, disc, 1.0)) * pos.astype(jnp.float32)
+    sgn = jnp.where(b >= 0.0, 1.0, -1.0)
+    qq = -(b + sgn * sq)
+    other = c0 / jnp.where(qq != 0.0, qq, 1.0)
+    t1 = jnp.minimum(qq, other)
+    t2 = jnp.maximum(qq, other)
+    eps = EPS_T + 16.0 * F32EPS * r
+    t = jnp.where((t1 < 0.0) | (jnp.abs(t1) < eps), t2, t1)
+    valid = pos & (t > 0.0) & (jnp.abs(t) > eps)
+    return t, valid
+
+
+def nearest(sc, o, d, alb, rad):
+    """Unrolled scene intersect with branchless attribute select.
+    `alb`/`rad` are nested per-sphere-channel scalar tables (python floats
+    or traced SMEM reads). Returns (hit, t, attrs dict)."""
+    from ..scene.scene import DIELECTRIC, MICROFACET
+
+    S = len(sc["r"])
+    z = jnp.zeros_like(o[0])
+    t_min = z + jnp.inf
+    hit = z > 1.0
+    at = {
+        "cx": z, "cy": z, "cz": z, "ar": z, "ag": z, "ab": z,
+        "rr": z, "rg": z, "rb": z, "er": z, "eg": z, "eb": z,
+        "kr": z, "kg": z, "kb": z, "alpha": z,
+        # material/emitter flags as f32 0/1: Mosaic cannot lower the
+        # i8->i1 truncation a bool-scalar select produces
+        "em_f": z, "mic_f": z, "die_f": z,
+        "sid": jnp.full(o[0].shape, -1, jnp.int32),
+    }
+    for s in range(S):
+        t, valid = sphere_first_t(sc, o, d, s)
+        closer = valid & (t < t_min)
+        t_min = jnp.where(closer, t, t_min)
+        hit = hit | closer
+        c = sc["c"][s]
+        eta = sc["eta"][s]; kap = sc["kap"][s]
+        w = lambda const, old: jnp.where(closer, const, old)
+        at["cx"] = w(c[0], at["cx"]); at["cy"] = w(c[1], at["cy"]); at["cz"] = w(c[2], at["cz"])
+        at["ar"] = w(alb[s][0], at["ar"]); at["ag"] = w(alb[s][1], at["ag"]); at["ab"] = w(alb[s][2], at["ab"])
+        at["rr"] = w(rad[s][0], at["rr"]); at["rg"] = w(rad[s][1], at["rg"]); at["rb"] = w(rad[s][2], at["rb"])
+        at["er"] = w(eta[0], at["er"]); at["eg"] = w(eta[1], at["eg"]); at["eb"] = w(eta[2], at["eb"])
+        at["kr"] = w(kap[0], at["kr"]); at["kg"] = w(kap[1], at["kg"]); at["kb"] = w(kap[2], at["kb"])
+        at["alpha"] = w(sc["alpha"][s], at["alpha"])
+        at["em_f"] = w(1.0 if any(v > 0 for v in sc["rad"][s]) else 0.0, at["em_f"])
+        at["mic_f"] = w(1.0 if sc["mat"][s] == MICROFACET else 0.0, at["mic_f"])
+        at["die_f"] = w(1.0 if sc["mat"][s] == DIELECTRIC else 0.0, at["die_f"])
+        at["sid"] = jnp.where(closer, s, at["sid"])
+    t_min = jnp.where(hit, t_min, 0.0)
+    at["is_em"] = at["em_f"] > 0.5
+    at["is_mic"] = at["mic_f"] > 0.5
+    at["is_die"] = at["die_f"] > 0.5
+    return hit, t_min, at
+
+
+def nearest_id_t(sc, o, d):
+    """Light trace: nearest id + t only."""
+    S = len(sc["r"])
+    z = jnp.zeros_like(o[0])
+    t_min = z + jnp.inf
+    sid = jnp.full(o[0].shape, -1, jnp.int32)
+    for s in range(S):
+        t, valid = sphere_first_t(sc, o, d, s)
+        closer = valid & (t < t_min)
+        t_min = jnp.where(closer, t, t_min)
+        sid = jnp.where(closer, s, sid)
+    hit = sid >= 0
+    return hit, jnp.where(hit, t_min, 0.0), sid
+
+
+def visibility_from(sc, light, x):
+    """Reference visibility: cast FROM the light TOWARD x
+    (pathTracingUtilities.h:39-53)."""
+    lx = [x[0] - light[0], x[1] - light[1], x[2] - light[2]]
+    dist = norm3(lx)
+    d = scale3(lx, 1.0 / dist)
+    hit, t, _ = nearest_id_t(sc, light, d)
+    return (t > dist * (1.0 - 1024.0 * F32EPS)) | ~hit, dist
+
+
+# --- Beckmann / Fresnel ----------------------------------------------------
+
+def ndf_beckmann(cosine, alpha):
+    c2 = cosine * cosine
+    safe_c2 = jnp.maximum(c2, 1e-4)
+    a2 = jnp.maximum(alpha * alpha, 1e-8)
+    tan2 = jnp.maximum(1.0 - c2, 0.0) / safe_c2
+    val = jnp.exp(-tan2 / a2) / (math.pi * a2 * safe_c2 * safe_c2)
+    return jnp.where(cosine >= 0.0, val, 0.0)
+
+
+def g1(n, wv, wh, alpha):
+    cos = dot3(n, wv)
+    sin = jnp.sqrt(jnp.maximum(1.0 - cos * cos, 1e-12))
+    tan = sin / jnp.where(cos != 0.0, cos, 1e-12)
+    a = 1.0 / (jnp.maximum(alpha, 1e-6) * jnp.where(tan != 0.0, tan, 1e-12))
+    rational = (3.535 * a + 2.181 * a * a) / (1.0 + 2.276 * a + 2.577 * a * a)
+    g = jnp.where(a < 1.6, rational, 1.0)
+    same = (dot3(wv, wh) / jnp.where(cos != 0.0, cos, 1e-12)) > 0.0
+    return jnp.where(same, g, 0.0)
+
+
+def fresnel_cond(cos_wh, eta, kappa):
+    """Per-channel conductor Fresnel; eta/kappa per-lane scalars."""
+    cos = cos_wh
+    sin2 = jnp.maximum(1.0 - cos * cos, 1e-12)
+    out = []
+    for e, k in zip(eta, kappa):
+        e2k2 = e * e - k * k - sin2
+        a2b2 = jnp.sqrt(jnp.maximum(e2k2 * e2k2 + 4.0 * e * e * k * k, 1e-12))
+        a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + e * e - k * k - sin2), 1e-12))
+        perp = (a2b2 + cos * cos - 2.0 * a * cos) / (a2b2 + cos * cos + 2.0 * a * cos)
+        sin4 = sin2 * sin2
+        par = perp * (a2b2 * cos * cos + sin4 - 2.0 * a * cos * sin2) / (
+            a2b2 * cos * cos + sin4 + 2.0 * a * cos * sin2)
+        out.append(0.5 * (par + perp))
+    return out
+
+
+def fr_microfacet(at, wi_l, wh_l, wo_l):
+    """Cook-Torrance in the LOCAL frame (n = +z)."""
+    nz = [jnp.zeros_like(wi_l[0]), jnp.zeros_like(wi_l[0]),
+          jnp.ones_like(wi_l[0])]
+    den = 4.0 * jnp.maximum(jnp.abs(wi_l[2]) * jnp.abs(wo_l[2]), 1e-12)
+    f = fresnel_cond(dot3(wi_l, wh_l), (at["er"], at["eg"], at["eb"]),
+                     (at["kr"], at["kg"], at["kb"]))
+    dg = ndf_beckmann(wh_l[2], at["alpha"]) * g1(nz, wi_l, wh_l, at["alpha"]) \
+        * g1(nz, wo_l, wh_l, at["alpha"]) / den
+    return [f[0] * dg, f[1] * dg, f[2] * dg]
+
+
+def fr_microfacet_global(at, wi, wh, wo, n):
+    """Cook-Torrance in the GLOBAL frame (bdsf path uses world vectors)."""
+    den = 4.0 * jnp.maximum(jnp.abs(dot3(n, wi)) * jnp.abs(dot3(n, wo)), 1e-12)
+    f = fresnel_cond(dot3(wi, wh), (at["er"], at["eg"], at["eb"]),
+                     (at["kr"], at["kg"], at["kb"]))
+    dg = ndf_beckmann(dot3(n, wh), at["alpha"]) * g1(n, wi, wh, at["alpha"]) \
+        * g1(n, wo, wh, at["alpha"]) / den
+    return [f[0] * dg, f[1] * dg, f[2] * dg]
+
+
+def fresnel_die(cos_t, cos_i):
+    par = (GLASS_ETA_T * cos_i - GLASS_ETA_I * cos_t) / (
+        GLASS_ETA_T * cos_i + GLASS_ETA_I * cos_t)
+    perp = (GLASS_ETA_I * cos_i - GLASS_ETA_T * cos_t) / (
+        GLASS_ETA_I * cos_i + GLASS_ETA_T * cos_t)
+    return 0.5 * (par * par + perp * perp)
+
+
+def refract_quirk(wo, n):
+    """Reference refraction incl. the stray -1 (microFacetUtilities.h:123-141)."""
+    wo_l = to_local(n, wo)
+    cos_i = dot3(wo, n)
+    inv_ratio = GLASS_ETA_I / GLASS_ETA_T
+    s2 = jnp.maximum(1.0 - inv_ratio * inv_ratio * (1.0 - cos_i * cos_i), 1e-12)
+    cos_t = jnp.sqrt(s2)
+    ratio = -(GLASS_ETA_T / GLASS_ETA_I)
+    wt_l = [wo_l[0] * ratio, wo_l[1] * ratio, cos_t - 1.0]
+    return normalize3(from_local(n, wt_l)), cos_t
+
+
+# --- samplers --------------------------------------------------------------
+
+def cone_dir(wc, cos_max, u1, u2):
+    ct = jnp.clip((1.0 - u1) + u1 * cos_max, -1.0, 1.0)
+    st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 1e-12))
+    phi = TWO_PI * u2
+    local = [st * jnp.cos(phi), st * jnp.sin(phi), ct]
+    return normalize3(from_local(wc, local))
+
+
+def cone_pdf(cos_max):
+    return 1.0 / (TWO_PI * jnp.maximum(1.0 - cos_max, 1e-12))
+
+
+def atan_poly(z):
+    """Minimax atan on |z| <= 1 (max err ~1e-5 rad) — Mosaic lowers no
+    atan/atan2/tan primitives, so the equi-angular path builds its own
+    from polynomial + sin/cos."""
+    z2 = z * z
+    return z * (0.99997726 + z2 * (-0.33262347 + z2 * (
+        0.19354346 + z2 * (-0.11643287 + z2 * (
+            0.05265332 + z2 * -0.01172120)))))
+
+
+def atan2_posx(y, x):
+    """atan2(y, x) for x > 0 (the equi-angular D is floored positive)."""
+    z = y / x
+    inv = jnp.abs(z) > 1.0
+    zz = jnp.where(inv, 1.0 / jnp.where(z != 0.0, z, 1.0), z)
+    p = atan_poly(zz)
+    sgn = jnp.where(z >= 0.0, 1.0, -1.0)
+    return jnp.where(inv, sgn * (math.pi / 2.0) - p, p)
+
+
+def tan_sc(t):
+    return jnp.sin(t) / jnp.cos(t)
+
+
+def cosine_hemi(n, u1, u2):
+    ct = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+    st = jnp.sqrt(jnp.maximum(u1, 0.0))
+    phi = TWO_PI * u2
+    return normalize3(from_local(n, [st * jnp.cos(phi), st * jnp.sin(phi), ct]))
+
+
+def uniform_sphere(u1, u2):
+    ct = 1.0 - 2.0 * u1
+    st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
+    phi = TWO_PI * u2
+    return [st * jnp.cos(phi), st * jnp.sin(phi), ct]
+
+
+def beckmann_wh(alpha, u1, u2):
+    t2 = jnp.maximum(-(alpha * alpha) * jnp.log(jnp.maximum(1.0 - u1, 1e-20)),
+                     1e-20)
+    ct = jax.lax.rsqrt(1.0 + t2)
+    st = jnp.sqrt(t2) * ct
+    phi = TWO_PI * u2
+    return [st * jnp.cos(phi), st * jnp.sin(phi), ct]
+
+
+def sample_bsdf(rng, at, d, n):
+    """bdsf (vptShadeMethods.h:16-59): (fs, wi, pdf)."""
+    wo = [-d[0], -d[1], -d[2]]
+    u1, u2, u_choice = rng(), rng(), rng()
+    # lambert
+    wi_l = cosine_hemi(n, u1, u2)
+    cos_l = dot3(n, wi_l)
+    pdf_l = cos_l / math.pi
+    fs_l = [at["ar"] / math.pi, at["ag"] / math.pi, at["ab"] / math.pi]
+    # dielectric
+    wt, _ = refract_quirk(wo, n)
+    fres = fresnel_die(dot3(n, wt), dot3(n, wo))
+    refl = u_choice < fres
+    ndotwo = dot3(n, wo)
+    wr = normalize3([2.0 * ndotwo * n[i] - wo[i] for i in range(3)])
+    wi_d = sel3(refl, wr, wt)
+    cos_d = dot3(n, wi_d)
+    inv_cos = 1.0 / jnp.where(cos_d != 0.0, cos_d, 1e-12)
+    fs_d_s = jnp.where(refl, inv_cos * fres,
+                       inv_cos * (1.0 - fres) * GLASS_ETA_T * GLASS_ETA_T)
+    pdf_d = jnp.where(refl, fres, 1.0 - fres)
+    # microfacet
+    wh = from_local(n, beckmann_wh(at["alpha"], u1, u2))
+    wh_dot_wo = dot3(wh, wo)
+    wi_m = [2.0 * wh_dot_wo * wh[i] - wo[i] for i in range(3)]
+    fs_m = fr_microfacet_global(at, wi_m, wh, wo, n)
+    pdf_m = ndf_beckmann(dot3(wh, n), at["alpha"]) * dot3(wh, n) / (
+        4.0 * jnp.maximum(jnp.abs(wh_dot_wo), 1e-12))
+    is_m, is_d = at["is_mic"], at["is_die"]
+    fs = sel3(is_m, fs_m, sel3(is_d, [fs_d_s] * 3, fs_l))
+    wi = sel3(is_m, wi_m, sel3(is_d, wi_d, wi_l))
+    pdf = jnp.where(is_m, pdf_m, jnp.where(is_d, pdf_d, pdf_l))
+    return fs, wi, pdf
+
+
+def eval_fr_nee(at, n, wray, wi):
+    """Light-strategy fr: lambert / 0 (dielectric) / local microfacet
+    (samplingFunctions.h:163-194)."""
+    wi_l = to_local(n, wi)
+    wo_l = to_local(n, [-wray[0], -wray[1], -wray[2]])
+    wh = normalize3(add3(wi_l, wo_l))
+    fr_m = fr_microfacet(at, wi_l, wh, wo_l)
+    fr_lam = [at["ar"] / math.pi, at["ag"] / math.pi, at["ab"] / math.pi]
+    zero = jnp.zeros_like(fr_lam[0])
+    out = []
+    for i in range(3):
+        v = jnp.where(at["is_mic"], fr_m[i],
+                      jnp.where(at["is_die"], zero, fr_lam[i]))
+        out.append(v)
+    return out
+
+
+def eval_fr_nee_plight(at, n, wray, wi):
+    """pLight's fr: microfacet local / lambert (NOT zero for
+    dielectric — the reference's pLight has no dielectric branch,
+    vptShadeMethods.h:83-87)."""
+    wi_l = to_local(n, wi)
+    wo_l = to_local(n, [-wray[0], -wray[1], -wray[2]])
+    wh = normalize3(add3(wi_l, wo_l))
+    fr_m = fr_microfacet(at, wi_l, wh, wo_l)
+    fr_lam = [at["ar"] / math.pi, at["ag"] / math.pi, at["ab"] / math.pi]
+    return sel3(at["is_mic"], fr_m, fr_lam)
+
+
+def bsdf_pdf_for_dir(at, n, wo, wi, u_flip):
+    pdf_l = dot3(n, wi) / math.pi
+    wt, _ = refract_quirk(wo, n)
+    fres = fresnel_die(dot3(n, wt), dot3(n, wo))
+    pdf_d = jnp.where(u_flip > fres, 1.0 - fres, fres)
+    wh = normalize3(add3(wi, wo))
+    pdf_m = ndf_beckmann(dot3(wh, n), at["alpha"]) * dot3(wh, n) / (
+        4.0 * jnp.maximum(jnp.abs(dot3(wo, wh)), 1e-12))
+    return jnp.where(at["is_mic"], pdf_m,
+                     jnp.where(at["is_die"], pdf_d, pdf_l))
+
+
+def power_h(f, g):
+    fc = jnp.clip(f, 0.0, 1e12)
+    gc = jnp.clip(g, 0.0, 1e12)
+    ratio = gc / jnp.where(fc > 0.0, fc, 1.0)
+    return jnp.where(fc > 0.0, 1.0 / (1.0 + ratio * ratio), 0.0)
