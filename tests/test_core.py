@@ -101,3 +101,22 @@ def test_erand48_matches_libc():
     ref = [libc.erand48(seed) for _ in range(64)]
     mine, _ = erand48_sequence(erand48_state([0x1234, 0xABCD, 0x5678]), 64)
     assert np.array_equal(ref, mine)
+
+
+def test_write_png_decodes_to_tonemap():
+    """write_png emits a valid 8-bit RGB PNG whose pixels equal the
+    clamp+gamma-2.2 quantizer output (decoded with PIL)."""
+    import tempfile, os
+    import numpy as np
+    import pytest
+    import vpt.io.ppm as P
+
+    PIL = pytest.importorskip("PIL.Image")
+    rng = np.random.default_rng(7)
+    img = rng.random((17, 23, 3)) * 1.4
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "t.png")
+        P.write_png(path, img)
+        decoded = np.asarray(PIL.open(path))
+    assert np.array_equal(decoded,
+                          np.clip(P.tonemap(img), 0, 255).astype(np.uint8))

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from ..core import rng
 from ..integrators import engine
 from ..integrators.volume import VOLUME_INTEGRATORS
+from ..integrators.legacy import LEGACY_INTEGRATORS, LegacySpec, trace_legacy
 from ..integrators.surface import SURFACE_INTEGRATORS, trace_surface
 from ..integrators.raymarch import RAYMARCH_INTEGRATORS, trace_raymarch
 from ..scene import camera as cam
@@ -64,13 +65,20 @@ def resolve_tracer(integrator: str, continue_prob: float, max_bounces: int):
                          else s.max_bounces),
         )
         return "volume", spec, engine.trace
+    if integrator in LEGACY_INTEGRATORS:
+        # legacy variants PIN their reference RR/depth constants; only the
+        # depth bound can be widened for variants that had none
+        s = LEGACY_INTEGRATORS[integrator]
+        if s.max_bounces == LegacySpec("x").max_bounces:
+            s = _dc.replace(s, max_bounces=max_bounces)
+        return "legacy", s, trace_legacy
     if integrator in SURFACE_INTEGRATORS:
         return "surface", SURFACE_INTEGRATORS[integrator], trace_surface
     if integrator in RAYMARCH_INTEGRATORS:
         return "raymarch", RAYMARCH_INTEGRATORS[integrator], trace_raymarch
     raise ValueError(
         f"unknown integrator {integrator!r}; available: "
-        f"{sorted({**VOLUME_INTEGRATORS, **SURFACE_INTEGRATORS, **RAYMARCH_INTEGRATORS})}"
+        f"{sorted({**VOLUME_INTEGRATORS, **LEGACY_INTEGRATORS, **SURFACE_INTEGRATORS, **RAYMARCH_INTEGRATORS})}"
     )
 
 

@@ -32,7 +32,12 @@ def _replicated_specs(tree):
 def shard_trace_fn(spec: engine.IntegratorSpec, width: int, height: int,
                    spp_per_shard: int, jitter: bool = True):
     """Per-shard body: render `spp_per_shard` samples for the local pixel ids
-    and pmean the estimate over the sample axis. Runs under shard_map."""
+    and pmean the estimate over the sample axis. Runs under shard_map.
+
+    Uses the differentiable fixed-length trace so the same body serves
+    forward AND gradient work; pure forward multi-chip renders should go
+    through the fused-kernel path instead (dist/sharded_pallas.py, reached
+    via render_sharded(backend='auto'))."""
 
     def body(scene: Scene, camera: cam.Camera, key, pixel_ids):
         sidx = jax.lax.axis_index(SAMPLE_AXIS)
@@ -98,9 +103,28 @@ def _render_sharded_jit(scene, camera, key, *, mesh, width, height, spp,
 
 
 def render_sharded(scene: Scene, camera: cam.Camera, cfg, mesh: Mesh,
-                   key=None) -> jnp.ndarray:
-    """Render an (H, W, 3) frame sharded over `mesh`. cfg is a RenderConfig."""
+                   key=None, backend: str = "auto",
+                   interpret: bool = False) -> jnp.ndarray:
+    """Render an (H, W, 3) frame sharded over `mesh`. cfg is a RenderConfig.
+
+    backend='auto' uses the fused Pallas kernel per device when the
+    integrator supports it (kernels/wavefront.PALLAS_INTEGRATORS) — the fast
+    path, ~50x the engine's throughput per chip; 'engine' forces the XLA
+    wavefront engine (any integrator, and the body gradients flow through);
+    'pallas' requires kernel support. `interpret` runs the kernel in
+    interpret mode (CPU-mesh tests)."""
     from ..api.render import resolve_spec
+    from ..kernels.wavefront import PALLAS_INTEGRATORS
+    from .sharded_pallas import render_pallas_sharded
+
+    if backend not in ("auto", "engine", "pallas"):
+        raise ValueError(f"unknown backend {backend!r}")
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and cfg.integrator in PALLAS_INTEGRATORS
+        and (interpret or mesh.devices.flat[0].platform == "tpu"))
+    if use_pallas:
+        return render_pallas_sharded(scene, camera, cfg, mesh,
+                                     interpret=interpret)
 
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)

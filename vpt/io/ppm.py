@@ -15,7 +15,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["tonemap", "write_ppm", "read_ppm", "native_available"]
+__all__ = ["tonemap", "write_ppm", "read_ppm", "write_png",
+           "native_available"]
 
 try:
     from . import _ppmio  # noqa: F401  (built by vpt.io.build_native)
@@ -49,6 +50,33 @@ def write_ppm(path: str, image, already_quantized: bool = False) -> None:
         f.write(f"P3\n{w} {h}\n255\n")
         flat = q.reshape(-1, 3)
         f.write("".join(f"{r} {g} {b} " for r, g, b in flat))
+
+
+def write_png(path: str, image, already_quantized: bool = False) -> None:
+    """Write an 8-bit RGB PNG of the tonemapped image. Dependency-free:
+    stdlib zlib + the PNG container format (the reference has no PNG path;
+    this is a viewer convenience next to the parity PPM writer)."""
+    import struct
+    import zlib
+
+    q = np.asarray(image, np.int32) if already_quantized else tonemap(image)
+    q = np.clip(q, 0, 255).astype(np.uint8)
+    h, w, _ = q.shape
+    # each scanline prefixed with filter byte 0
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), q.reshape(h, w * 3)], axis=1
+    ).tobytes()
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)   # 8-bit RGB
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", ihdr))
+        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
+        f.write(chunk(b"IEND", b""))
 
 
 def read_ppm(path: str) -> np.ndarray:
