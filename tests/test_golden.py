@@ -10,6 +10,16 @@ so its own high-spp renders are mostly NaN pixels and the golden keeps the
 finite samples only. That masking plus the point-NEE fp-lottery residual
 (media/nee.py) bounds achievable agreement at a few percent; tolerances
 below reflect that, not looseness in the port.
+
+Round-2 update: the NaN mechanism is now fully understood — the reference's
+unqualified `abs` on doubles is the C INTEGER abs (see core/replay._cabs),
+so every microfacet fr/pdf denominator truncates to 0. Whole-path
+correctness is no longer carried by this statistical golden at all:
+tests/test_replay_parity.py proves BIT-EXACT seed-matched agreement of
+complete paths against the rebuilt reference (max rel err 0 over 1200
+paths). This golden remains as an end-to-end image-level smoke against an
+estimator that deliberately diverges from the broken int-abs semantics
+(true-abs epsilon 1e-4, finite microfacet math).
 """
 import os
 
