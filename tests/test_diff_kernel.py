@@ -74,11 +74,12 @@ def test_sigma_grads_match_engine_score_estimator(render):
     Different RNG backends (PCG vs threefry), same estimator — statistical."""
     params = pack_params(SCENE)
 
-    gk = jax.jit(jax.grad(lambda p, s: jnp.mean(render(p, s))),
-                 static_argnums=1)
+    # seed must stay a TRACED arg: a static seed would recompile the
+    # interpret-mode backward kernel for every sample (~100s each)
+    gk = jax.jit(jax.grad(lambda p, s: jnp.mean(render(p, s))))
     kernel_sa, kernel_ss = [], []
     for i in range(24):
-        g = gk(params, 1000 + i)
+        g = gk(params, jnp.int32(1000 + i))
         kernel_sa.append(float(g["sigma_a"]))
         kernel_ss.append(float(g["sigma_s"]))
 

@@ -54,3 +54,72 @@ def test_pallas_equiangular_matches_engine_statistically():
     assert np.isclose(img.mean(), ref.mean(), rtol=0.3), (img.mean(), ref.mean())
     c = np.corrcoef(img.ravel(), ref.ravel())[0, 1]
     assert c > 0.45, c
+
+
+@pytest.mark.slow
+def test_pallas_implicit_free_matches_engine_statistically():
+    """The implicit (no-NEE) kernel estimator carries the reference's
+    sigma_s*T/(ffProb*(1-Tr)) weighting (vptShadeMethods.h:977,1006) —
+    round 1 silently used the explicit family's PBRT-cancelled weight."""
+    import jax
+    W, H, SPP = 24, 16, 128
+    run = build_tile_renderer(SCENE, CAM, W, H, SPP, nee=False,
+                              max_bounces=12, interpret=True)
+    imgs = [np.clip(np.asarray(run(s)).reshape(H, W, 3), 0, 1)
+            for s in (0, 1, 2)]
+    assert all(np.isfinite(i).all() for i in imgs)
+    cfg = vpt.RenderConfig(width=W, height=H, spp=SPP,
+                           integrator="implicit_free", max_bounces=12,
+                           chunk_pixels=W * H, renderer="scan")
+    refs = [np.clip(np.asarray(vpt.render(SCENE, CAM, cfg,
+                                          key=jax.random.PRNGKey(s))), 0, 1)
+            for s in (0, 1, 2)]
+    # the implicit estimator is emitter-hit-only: clipped means carry real
+    # seed-to-seed spread even at 3x128 spp, hence the averaged comparison
+    a, b = np.mean([i.mean() for i in imgs]), np.mean([r.mean() for r in refs])
+    assert np.isclose(a, b, rtol=0.35), (a, b)
+
+
+@pytest.mark.slow
+def test_pallas_clamped_ea_matches_engine_statistically():
+    """implicit_equiangular (clamped foot-point parameterization,
+    volumetricBasicFunctions.h:180-207) through renderer='pallas'."""
+    W, H, SPP = 24, 16, 128
+    cfg = vpt.RenderConfig(width=W, height=H, spp=SPP,
+                           integrator="implicit_equiangular", max_bounces=12,
+                           chunk_pixels=W * H)
+    from vpt.kernels.wavefront import render_pallas
+    img = np.clip(np.asarray(render_pallas(SCENE, CAM, cfg, interpret=True)),
+                  0, 1)
+    assert np.isfinite(img).all()
+    import dataclasses
+    ref = np.clip(np.asarray(vpt.render(
+        SCENE, CAM, dataclasses.replace(cfg, renderer="scan"))), 0, 1)
+    assert np.isclose(img.mean(), ref.mean(), rtol=0.3), (img.mean(), ref.mean())
+
+
+@pytest.mark.slow
+def test_pallas_medium_shell_matches_engine_statistically():
+    """material-3 shells: the pLight multipleT visibility cascade runs
+    in-kernel (vptShadeMethods.h:66-72); medium_shell via renderer='pallas'
+    agrees with the XLA engine."""
+    from vpt.scene.scene import medium_shell
+    scene = medium_shell()
+    W, H, SPP = 24, 16, 64
+    cfg = vpt.RenderConfig(width=W, height=H, spp=SPP,
+                           integrator="explicit_free", max_bounces=10,
+                           chunk_pixels=W * H)
+    from vpt.kernels.wavefront import render_pallas
+    img = np.clip(np.asarray(render_pallas(scene, CAM, cfg, interpret=True)),
+                  0, 1)
+    assert np.isfinite(img).all()
+    import dataclasses
+    ref = np.clip(np.asarray(vpt.render(
+        scene, CAM, dataclasses.replace(cfg, renderer="scan"))), 0, 1)
+    assert np.isclose(img.mean(), ref.mean(), rtol=0.25), (img.mean(), ref.mean())
+    # per-pixel correlation is firefly-dominated at this spp (the 4000-power
+    # point light); compare coarse block means instead
+    bi = img.reshape(4, 4, 6, 4, 3).mean(axis=(1, 3))
+    br = ref.reshape(4, 4, 6, 4, 3).mean(axis=(1, 3))
+    rel = np.abs(bi - br) / (np.abs(br) + 5e-3)
+    assert np.median(rel) < 0.35, np.median(rel)

@@ -185,19 +185,43 @@ def nearest(sc, o, d, alb, rad):
     return hit, t_min, at
 
 
-def nearest_id_t(sc, o, d):
-    """Light trace: nearest id + t only."""
+def nearest_id_t(sc, o, d, skip=()):
+    """Light trace: nearest id + t only. `skip` is a static tuple of sphere
+    indices excluded from the scan (intersectVPT skips material==3,
+    volumetricBasicFunctions.h:64-89)."""
     S = len(sc["r"])
     z = jnp.zeros_like(o[0])
     t_min = z + jnp.inf
     sid = jnp.full(o[0].shape, -1, jnp.int32)
     for s in range(S):
+        if s in skip:
+            continue
         t, valid = sphere_first_t(sc, o, d, s)
         closer = valid & (t < t_min)
         t_min = jnp.where(closer, t, t_min)
         sid = jnp.where(closer, s, sid)
     hit = sid >= 0
     return hit, jnp.where(hit, t_min, 0.0), sid
+
+
+def sphere_both_roots(sc, o, d, s):
+    """Raw both-roots of sphere s (Sphere::intersectVPT, Sphere.h:39-45):
+    (t1, t2), both 0 when det < 0."""
+    ctr = sc["c"][s]
+    r = float(sc["r"][s])
+    oc = [o[0] - ctr[0], o[1] - ctr[1], o[2] - ctr[2]]
+    b = dot3(oc, d)
+    c0 = dot3(oc, oc) - r * r
+    disc = r * r - (dot3(oc, oc) - b * b)
+    pos = disc > 0.0
+    sq = jnp.sqrt(jnp.where(pos, disc, 1.0)) * pos.astype(jnp.float32)
+    sgn = jnp.where(b >= 0.0, 1.0, -1.0)
+    qq = -(b + sgn * sq)
+    other = c0 / jnp.where(qq != 0.0, qq, 1.0)
+    t1 = jnp.minimum(qq, other)
+    t2 = jnp.maximum(qq, other)
+    z = jnp.zeros_like(t1)
+    return jnp.where(pos, t1, z), jnp.where(pos, t2, z)
 
 
 def visibility_from(sc, light, x):

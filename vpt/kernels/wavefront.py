@@ -70,10 +70,12 @@ def _scene_consts(scene: Scene):
         "emitters": tuple(scene.emitter_idx),
         "mis_lights": tuple(scene.mis_light_idx),
     }
-    if any(m == VOLUME_BOUNDARY for m in s["mat"]):
-        raise NotImplementedError(
-            "pallas kernel: scenes with material==3 shells use the XLA engine"
-        )
+    # material-3 volumetric boundary shells: the main intersect still sees
+    # them as surfaces (the active integrator uses plain `intersect`,
+    # vptShadeMethods.h:1286; the engine matches), but pLight's visibility
+    # cascade needs the VPT variant + multipleT (vptShadeMethods.h:66-72)
+    s["vol"] = tuple(i for i, m in enumerate(s["mat"])
+                     if m == VOLUME_BOUNDARY)
     return s
 
 
@@ -81,13 +83,17 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                         spp: int, *, nee: bool = True,
                         distance: str = "free",
                         continue_prob: float = 0.6, max_bounces: int = 32,
-                        tile_rows: int = 128, jitter: bool = True,
+                        tile_rows: int = 32, jitter: bool = True,
                         interpret: bool = False):
     """Build a jitted fn(seed:int32[num_tiles], base:int32[num_tiles])
     -> (num_tiles*R, 128, 3) radiance sums (divide by spp).
 
     Each grid program renders R*128 pixels to completion (spp samples each,
-    path regeneration on death).
+    path regeneration on death). tile_rows=32 is the measured optimum at
+    1024x1024x64 on v5e (166.6M paths/s vs 145.3M at R=128): smaller tiles
+    shorten each program's all-lanes-finished tail, and the grid pipelines
+    more programs to hide it (r2 sweep: R=8 147.1M, R=32 166.6M, R=64
+    156.8M, R=128 145.3M).
     """
     sc = _scene_consts(scene)
     S = len(sc["r"])
@@ -148,11 +154,38 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
             return lc, lrad, lr, lid
 
         def plight_term(at, xs, n, d, lc, lrad):
-            """pLight (vptShadeMethods.h:62-91), no material-3 shells so the
-            multipleT fallback reduces to visibilityVPT == visibility."""
-            vis, dist = pr.visibility_from(sc, lc, xs)
+            """pLight (vptShadeMethods.h:62-91). With material-3 shells in
+            the scene, the reference's visibility cascade applies: plain
+            visibility -> full 1/d^2; else visibilityVPT (shells ignored)
+            -> attenuate by multipleT at the hardcoded sigma_t=0.059
+            (vptShadeMethods.h:72); else black. Matches media/nee.plight."""
+            lx = [xs[i] - lc[i] for i in range(3)]
+            dist = pr.norm3(lx)
+            dl = pr.scale3(lx, 1.0 / dist)
+            hit, t, _ = pr.nearest_id_t(sc, lc, dl)
+            slack = 1.0 - 1024.0 * F32EPS
+            vis = (t > dist * slack) | ~hit
             inv_d2 = 1.0 / jnp.maximum(dist * dist, 1e-20)
-            le = [lrad[i] * jnp.where(vis, inv_d2, 0.0) for i in range(3)]
+            if sc["vol"]:
+                hit_v, t_v, _ = pr.nearest_id_t(sc, lc, dl, skip=sc["vol"])
+                vis_vpt = (t_v > dist * slack) | ~hit_v
+                # multipleT on the reversed (xs -> light) ray: roots are
+                # dist-t2 / dist-t1 (volumetricBasicFunctions.h:26-57)
+                tau = jnp.zeros_like(dist)
+                st_fb = 0.05 + 0.009      # vptShadeMethods.h:72
+                for sv in sc["vol"]:
+                    t1, t2 = pr.sphere_both_roots(sc, lc, dl, sv)
+                    r1 = dist - t2
+                    r2 = dist - t1
+                    tau = tau + jnp.where(r2 < 0.0, st_fb * r1, 0.0)
+                    tau = tau + jnp.where(r2 - r1 > 0.0,
+                                          st_fb * (r2 - r1), 0.0)
+                mt = jnp.exp(-tau)
+                le_scale = jnp.where(vis, inv_d2,
+                                     jnp.where(vis_vpt, inv_d2 * mt, 0.0))
+            else:
+                le_scale = jnp.where(vis, inv_d2, 0.0)
+            le = [lrad[i] * le_scale for i in range(3)]
             wi = pr.normalize3([lc[0] - xs[0], lc[1] - xs[1], lc[2] - xs[2]])
             fr = pr.eval_fr_nee_plight(at, n, d, wi)
             cosw = pr.dot3(n, wi)
@@ -270,9 +303,10 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                 d_s = -jnp.log1p(-u_dist) / sigma_t
                 surface = (d_s > t_eff) & hit
                 xt = [o[i] + d_s * d[i] for i in range(3)]
-                pdf_success = None          # PBRT cancellation: not needed
+                pdf_success = None          # PBRT cancellation (explicit)
                 t_xt = None
-            else:
+                tr_actual = jnp.where(hit, jnp.exp(-sigma_t * t), 0.0)
+            elif distance == "equiangular":
                 # equi-angular (equiAngularParams2 + sample/pdf,
                 # volumetricBasicFunctions.h:209-223, vptSamplingFunctions.h:54-62)
                 lo = [lc[i] - o[i] for i in range(3)]
@@ -289,6 +323,29 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                 u_ev = rng()
                 surface = (u_ev <= tr_actual) & hit
                 # pSuccess = pdf * (1 - Tr) (vptShadeMethods.h:1093)
+                pdf_success = dist_pdf * jnp.maximum(1.0 - tr_actual, 1e-20)
+                t_xt = jnp.exp(-sigma_t * jnp.abs(d_along))
+            else:
+                # CLAMPED equi-angular (equiAngularParams,
+                # volumetricBasicFunctions.h:180-207): foot point x0 clamped
+                # into [o, xs], D measured from x0 to the light center —
+                # implicitVPTracerRecursive's parameterization
+                # (vptShadeMethods.h:884); matches engine clamped_ea
+                lo = [lc[i] - o[i] for i in range(3)]
+                delta = jnp.clip(pr.dot3(lo, d), 0.0, t_eff)
+                x0 = [o[i] + delta * d[i] for i in range(3)]
+                x0c = [x0[i] - lc[i] for i in range(3)]
+                D = jnp.sqrt(jnp.maximum(pr.dot3(x0c, x0c), 1e-12))
+                th_a = pr.atan2_posx(-delta, D)
+                th_b = pr.atan2_posx(t_eff - delta, D)
+                sample_t = D * pr.tan_sc((1.0 - u_dist) * th_a + u_dist * th_b)
+                d_along = delta + sample_t       # distance from o along d
+                xt = [x0[i] + sample_t * d[i] for i in range(3)]
+                dist_pdf = D / (jnp.maximum(jnp.abs(th_b - th_a), 1e-12)
+                                * (sample_t * sample_t + D * D))
+                tr_actual = jnp.where(hit, jnp.exp(-sigma_t * t), 0.0)
+                u_ev = rng()
+                surface = (u_ev <= tr_actual) & hit
                 pdf_success = dist_pdf * jnp.maximum(1.0 - tr_actual, 1e-20)
                 t_xt = jnp.exp(-sigma_t * jnp.abs(d_along))
 
@@ -317,17 +374,24 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
             u_p1, u_p2 = rng(), rng()
             wi_m = pr.uniform_sphere(u_p1, u_p2)
             if distance == "free":
-                # free-flight: transmittance/pdf cancel analytically (the
-                # PBRT simplification, vptShadeMethods.h:1248) — only
-                # sigma_s/sigma_t survives
                 if nee:
+                    # explicit free: transmittance/pdf cancel analytically
+                    # (the PBRT simplification, vptShadeMethods.h:1248) —
+                    # only sigma_s/sigma_t survives
                     ld_med = medium_nee(rng, xt, lc, lrad, lr, lid)
                     for i in range(3):
                         L[i] = L[i] + jnp.where(
                             medium,
                             ld_med[i] / prob_source * tp[i] * (albedo_ratio / cp),
                             0.0)
-                tp_medium = [tp[i] * (albedo_ratio / cp) for i in range(3)]
+                    tp_medium = [tp[i] * (albedo_ratio / cp) for i in range(3)]
+                else:
+                    # implicit free: sigma_s*T/(cp*ffProb*(1-Tr)) =
+                    # (sigma_s/sigma_t)/(cp*(1-Tr))
+                    # (vptShadeMethods.h:977,1006; engine.py free implicit)
+                    w_med = albedo_ratio / (
+                        cp * jnp.maximum(1.0 - tr_actual, 1e-20))
+                    tp_medium = [tp[i] * w_med for i in range(3)]
             else:
                 # equi-angular: T and pdf appear explicitly
                 # (vptShadeMethods.h:1134-1146)
@@ -447,6 +511,7 @@ PALLAS_INTEGRATORS = {
     "implicit_free": (False, "free"),
     "explicit_equiangular": (True, "equiangular"),
     "mis_hybrid": (True, "equiangular"),
+    "implicit_equiangular": (False, "ea_clamped"),
 }
 
 
