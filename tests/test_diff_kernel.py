@@ -116,3 +116,44 @@ def test_sigma_grads_match_engine_score_estimator(render):
         em, es = np.mean(e_vals), np.std(e_vals) / np.sqrt(len(e_vals))
         tol = 4.0 * np.hypot(ks_, es) + 0.05 * max(abs(km), abs(em))
         assert abs(km - em) < tol, (name, km, ks_, em, es)
+
+
+@pytest.fixture(scope="module")
+def render_ea():
+    return make_diff_renderer(SCENE, CAM, W, H, SPP, max_bounces=8,
+                              distance="equiangular", tile_rows=8,
+                              interpret=True)
+
+
+def test_diff_ea_fwd_matches_baked_kernel(render_ea):
+    img = np.asarray(render_ea(pack_params(SCENE), 3))
+    run_ref = build_tile_renderer(SCENE, CAM, W, H, SPP, max_bounces=8,
+                                  distance="equiangular", tile_rows=8,
+                                  interpret=True)
+    ref = np.asarray(run_ref(3))
+    assert np.isfinite(img).all()
+    assert np.abs(img - ref).max() < 1e-5 * max(1.0, np.abs(ref).max())
+
+
+@pytest.mark.parametrize("leaf,index,eps", [
+    ("albedo", (0, 0), 1e-3),
+    ("radiance", (9, 0), 1e-2),
+])
+def test_ea_albedo_radiance_grads_exact_per_seed(render_ea, leaf, index, eps):
+    """Equi-angular family: albedo/radiance stay event-independent, so
+    per-seed FD of the kernel must match the hand-accumulated backward."""
+    params = pack_params(SCENE)
+
+    def loss(p):
+        return jnp.mean(render_ea(p, 3))
+
+    g = float(np.asarray(jax.grad(loss)(params)[leaf])[index])
+
+    def bump(e):
+        p = dict(params)
+        p[leaf] = params[leaf].at[index].set(params[leaf][index] + e)
+        return float(loss(p))
+
+    fd = (bump(eps) - bump(-eps)) / (2 * eps)
+    assert np.isfinite(g) and np.isfinite(fd)
+    assert np.isclose(g, fd, rtol=3e-2, atol=1e-7), (g, fd)

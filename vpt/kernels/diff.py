@@ -88,12 +88,18 @@ def unpack_params(vec, S):
 
 def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                        spp: int, *, nee: bool = True,
+                       distance: str = "free",
                        continue_prob: float = 0.6, max_bounces: int = 32,
                        tile_rows: int = 32, jitter: bool = True,
                        interpret: bool = False):
     """Build render(params, seed:int) -> (npix, 3), reverse-differentiable
-    w.r.t. params (see module docstring). Free-flight explicit/implicit
-    estimator (the reference's active iterativeVPTracerFree family)."""
+    w.r.t. params (see module docstring).
+
+    distance='free' is the reference's active iterativeVPTracerFree family;
+    'equiangular' the explicitVPTracerRecursive family (vptShadeMethods.h:
+    1014-1149) — its distance pdf is sigma-independent geometry, so the
+    score terms reduce to the Bernoulli(Tr) event log-probs, while the
+    explicit T and 1/pSuccess value factors contribute pathwise."""
     sc = _scene_consts(scene)
     S = len(sc["r"])
     P = 2 + 6 * S
@@ -354,16 +360,48 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 inv_ps = float(n_em)   # 1/prob_source
 
                 u_dist = rng()
-                d_s = -jnp.log1p(-u_dist) * inv_st
-                surface = (d_s > t_eff) & hit
-                xt = [o[i] + d_s * d[i] for i in range(3)]
+                if distance == "free":
+                    d_s = -jnp.log1p(-u_dist) * inv_st
+                    surface = (d_s > t_eff) & hit
+                    xt = [o[i] + d_s * d[i] for i in range(3)]
+                else:
+                    # equiAngularParams2 + Bernoulli(TrActual)
+                    # (volumetricBasicFunctions.h:209-223,
+                    # vptShadeMethods.h:1093-1096)
+                    lo_v = [lc[i] - o[i] for i in range(3)]
+                    delta = pr.dot3(lo_v, d)
+                    Dq = jnp.sqrt(jnp.maximum(
+                        pr.dot3(lo_v, lo_v) - delta * delta, 1e-12))
+                    th_a = pr.atan2_posx(-delta, Dq)
+                    th_b = pr.atan2_posx(t_eff - delta, Dq)
+                    sample_t = Dq * pr.tan_sc(
+                        (1.0 - u_dist) * th_a + u_dist * th_b)
+                    d_along = sample_t + delta
+                    xt = [o[i] + d_along * d[i] for i in range(3)]
+                    dist_pdf = Dq / (jnp.maximum(jnp.abs(th_b - th_a), 1e-12)
+                                     * (sample_t * sample_t + Dq * Dq))
+                    tr_act = jnp.where(hit, jnp.exp(-sigma_t * t), 0.0)
+                    u_ev = rng()
+                    surface = (u_ev <= tr_act) & hit
+                    one_m_tr = jnp.maximum(1.0 - tr_act, 1e-20)
+                    pdf_success = dist_pdf * one_m_tr
+                    t_xt = jnp.exp(-sigma_t * jnp.abs(d_along))
                 medium = alive & ~surface
                 shade_pre = alive & surface
 
                 if grads:
                     # score (family 3) vs L-prefix BEFORE this bounce
-                    k_sc = jnp.where(shade_pre, -t_eff,
-                                     jnp.where(medium, inv_st - d_s, 0.0))
+                    if distance == "free":
+                        # density: sigma_t e^{-sigma_t d} / e^{-sigma_t t}
+                        k_sc = jnp.where(shade_pre, -t_eff,
+                                         jnp.where(medium, inv_st - d_s, 0.0))
+                    else:
+                        # Bernoulli(Tr): surface log Tr = -sigma_t t;
+                        # medium log(1 - Tr); pdf itself sigma-independent
+                        t_det = jnp.where(hit, t, 0.0)
+                        k_med = t_det * tr_act / one_m_tr
+                        k_sc = jnp.where(shade_pre, -t_det,
+                                         jnp.where(medium & hit, k_med, 0.0))
                     wL0 = wt[0] * Lps[0] + wt[1] * Lps[1] + wt[2] * Lps[2]
                     acc["A_st"] += k_sc
                     acc["B_st"] += k_sc * wL0
@@ -436,11 +474,23 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
 
                 u_p1, u_p2 = rng(), rng()
                 wi_m = pr.uniform_sphere(u_p1, u_p2)
+                if distance == "free":
+                    med_scale = ar_cp                   # sigma_s/sigma_t/cp
+                    # d(log med_scale)/d(sigma_t-channel); the NEE term adds
+                    # its own -t_vis transmittance coefficient below
+                    med_dsig = -inv_st + z
+                else:
+                    # explicit T and 1/pSuccess (vptShadeMethods.h:1139-1146)
+                    t_det2 = jnp.where(hit, t, 0.0)
+                    med_scale = ss * t_xt / (cp * pdf_success)
+                    med_dsig = -jnp.abs(d_along) \
+                        - t_det2 * tr_act / one_m_tr
                 if nee:
                     ld_med, w_med, t_vis = medium_nee(rng, xt, lc, lrad, lr,
                                                       lid)
                     adds = [jnp.where(medium,
-                                      ld_med[i] * inv_ps * tp[i] * ar_cp, 0.0)
+                                      ld_med[i] * inv_ps * tp[i] * med_scale,
+                                      0.0)
                             for i in range(3)]
                     for i in range(3):
                         L[i] = L[i] + adds[i]
@@ -449,7 +499,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                         gs = z
                         gx = z
                         for i in range(3):
-                            gs += wt[i] * adds[i] * (-t_vis - inv_st)
+                            gs += wt[i] * adds[i] * (-t_vis + med_dsig)
                             gx += wt[i] * adds[i]
                         acc["g_st"] += gs
                         acc["g_ssx"] += gx * (1.0 / ss)
@@ -457,15 +507,15 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                             m = medium & (lid == e)
                             for i in range(3):
                                 acc[f"g_rad_{e}_{i}"] += jnp.where(
-                                    m, wt[i] * w_med * inv_ps * tp[i] * ar_cp,
-                                    0.0)
-                tp_medium = [tp[i] * ar_cp for i in range(3)]
+                                    m, wt[i] * w_med * inv_ps * tp[i]
+                                    * med_scale, 0.0)
+                tp_medium = [tp[i] * med_scale for i in range(3)]
 
                 if grads:
                     # deferred log-throughput factors (family 2) vs L-prefix
                     # AFTER this bounce's emissions
                     wL1 = wt[0] * Lps[0] + wt[1] * Lps[1] + wt[2] * Lps[2]
-                    k_med_st = jnp.where(medium, -inv_st, 0.0)
+                    k_med_st = jnp.where(medium, med_dsig, 0.0)
                     k_med_ssx = jnp.where(medium, 1.0 / ss, 0.0)
                     acc["A_st"] += k_med_st
                     acc["B_st"] += k_med_st * wL1
