@@ -24,3 +24,16 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def cpu_devices():
     return jax.devices("cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules: the full suite
+    otherwise accumulates every module's jitted programs (multi-GB RSS) and
+    the big trace-time-unrolled graphs (legacy vpt3's 127-node tree) can
+    then segfault XLA's CPU compiler under memory pressure."""
+    yield
+    jax.clear_caches()

@@ -157,3 +157,34 @@ def test_ea_albedo_radiance_grads_exact_per_seed(render_ea, leaf, index, eps):
     fd = (bump(eps) - bump(-eps)) / (2 * eps)
     assert np.isfinite(g) and np.isfinite(fd)
     assert np.isclose(g, fd, rtol=3e-2, atol=1e-7), (g, fd)
+
+
+@pytest.mark.slow
+def test_kernel_train_step_recovers_albedo():
+    """End-to-end inverse rendering on the fused kernel pair
+    (dist/train_fast.py): recover a perturbed wall albedo from a rendered
+    target. Sigma recovery at CI scale stays with the engine test
+    (score-gradient noise needs more steps than interpret mode affords);
+    the kernel's sigma gradients are validated statistically above."""
+    import dataclasses
+    from vpt.dist.train_fast import fit_kernel
+    from vpt.kernels.wavefront import build_tile_renderer
+
+    Wt = Ht = 16
+    run = build_tile_renderer(SCENE, CAM, Wt, Ht, 64, max_bounces=8,
+                              tile_rows=8, interpret=True)
+    target = np.asarray(run(11)).reshape(Ht, Wt, 3)
+
+    # the blue sphere's blue channel has a strong direct-view gradient
+    # (far-wall entries move too slowly for a 40-step CI budget)
+    wrong = dataclasses.replace(SCENE, albedo=SCENE.albedo.at[6, 2].set(0.2))
+    true_a = float(SCENE.albedo[6, 2])           # 0.9
+
+    def only_albedo(p, init):
+        return {**init, "albedo": p["albedo"]}
+
+    params, losses = fit_kernel(
+        wrong, CAM, target, steps=40, spp=8, learning_rate=3e-2,
+        max_bounces=8, interpret=True, param_filter=only_albedo)
+    rec = float(params["albedo"][6, 2])
+    assert abs(rec - true_a) < 0.6 * abs(0.2 - true_a), (rec, true_a)

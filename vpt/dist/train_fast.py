@@ -1,0 +1,79 @@
+"""Fast inverse-rendering training on the differentiable fused kernel.
+
+The engine-based SPMD step (dist/train.py) differentiates EVERY scene and
+camera parameter but pays the XLA scan engine's throughput; this step
+optimizes the medium/material subset {sigma_a, sigma_s, albedo, radiance}
+— the reference's actual estimation targets (src/rt.cpp:794) — through the
+custom-VJP kernel pair (kernels/diff.py) at fused-kernel speed
+(~71M paths/s fwd+bwd on one v5e chip vs ~0.3M for the engine).
+
+The loss is the same A/B unbiased MSE as dist/train.py: two independent
+half-budget renders A and B give E[(A-t)(B-t)] = (E[est]-t)^2 exactly, so
+low-spp steps do not descend on estimator variance.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..kernels.diff import make_diff_renderer, pack_params
+from ..scene.scene import Scene
+
+__all__ = ["make_kernel_train_step", "fit_kernel"]
+
+
+def make_kernel_train_step(scene: Scene, camera, width: int, height: int,
+                           spp: int, optimizer: optax.GradientTransformation,
+                           *, distance: str = "free", max_bounces: int = 32,
+                           tile_rows: int = 32, interpret: bool = False):
+    """Build step(params, opt_state, target_flat, seed) ->
+    (params, opt_state, loss). `params` is the kernels.diff pytree
+    (pack_params); target_flat is (npix, 3). Geometry/camera are baked."""
+    render = make_diff_renderer(
+        scene, camera, width, height, max(spp // 2, 1), distance=distance,
+        max_bounces=max_bounces, tile_rows=tile_rows, interpret=interpret)
+
+    @jax.jit
+    def step(params, opt_state, target_flat, seed):
+        def loss_fn(p):
+            a = render(p, seed * 2)
+            b = render(p, seed * 2 + 1)
+            return jnp.mean((a - target_flat) * (b - target_flat))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def fit_kernel(scene: Scene, camera, target, *, steps: int = 100,
+               spp: int = 16, learning_rate=1.5e-3, distance: str = "free",
+               max_bounces: int = 32, seed: int = 0, interpret: bool = False,
+               param_filter=None, log_every: int = 0):
+    """Recover {sigma_a, sigma_s, albedo, radiance} from a target (H, W, 3)
+    image with the fused kernel. `param_filter(updated, initial) -> params`
+    can freeze leaves (e.g. keep everything but sigma_s fixed). Returns
+    (params, losses)."""
+    height, width = target.shape[:2]
+    optimizer = optax.adam(learning_rate)
+    params = pack_params(scene)
+    init = dict(params)
+    opt_state = optimizer.init(params)
+    step = make_kernel_train_step(scene, camera, width, height, spp,
+                                  optimizer, distance=distance,
+                                  max_bounces=max_bounces,
+                                  interpret=interpret)
+    target_flat = jnp.asarray(target).reshape(width * height, 3)
+    losses = []
+    for i in range(steps):
+        params, opt_state, loss = step(params, opt_state, target_flat,
+                                       jnp.int32(seed + i))
+        if param_filter is not None:
+            params = param_filter(params, init)
+        losses.append(float(loss))
+        if log_every and i % log_every == 0:
+            print(f"step {i:4d}  loss {losses[-1]:.6g}")
+    return params, losses
