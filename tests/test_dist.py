@@ -114,3 +114,27 @@ def test_checkpoint_resume_bitstable(tmp_path):
     render_progressive(SCENE, CAM, half, p, log=None)
     resumed = render_progressive(SCENE, CAM, cfg, p, log=None)
     assert np.allclose(np.asarray(full), np.asarray(resumed), atol=1e-7)
+
+
+def test_sharded_kernel_train_step_runs():
+    """Multi-chip kernel training (dist/train_fast.py): the fused fwd/bwd
+    pair under shard_map with psum'd loss/grads executes on the CPU mesh
+    (interpret mode) and moves the parameters."""
+    from vpt.dist.train_fast import make_sharded_kernel_train_step
+    from vpt.kernels.diff import pack_params
+
+    mesh = make_mesh(jax.devices()[:4], sample_shards=1)
+    W = H = 16
+    optimizer = optax.adam(1e-2)
+    params = pack_params(SCENE)
+    opt_state = optimizer.init(params)
+    target = jnp.zeros((W * H, 3), jnp.float32)
+    step = make_sharded_kernel_train_step(
+        SCENE, CAM, W, H, spp=4, optimizer=optimizer, mesh=mesh,
+        max_bounces=6, tile_rows=8, interpret=True)
+    p2, opt_state, loss = step(params, opt_state, target, 0)
+    assert np.isfinite(float(loss))
+    assert not np.allclose(np.asarray(p2["sigma_s"]),
+                           np.asarray(params["sigma_s"]))
+    for v in jax.tree_util.tree_leaves(p2):
+        assert np.isfinite(np.asarray(v)).all()

@@ -49,6 +49,71 @@ def make_kernel_train_step(scene: Scene, camera, width: int, height: int,
     return step
 
 
+def make_sharded_kernel_train_step(scene: Scene, camera, width: int,
+                                   height: int, spp: int,
+                                   optimizer: optax.GradientTransformation,
+                                   mesh, *, distance: str = "free",
+                                   max_bounces: int = 32,
+                                   tile_rows: int = 32,
+                                   interpret: bool = False):
+    """Multi-chip kernel training: each device runs the fused fwd/bwd pair
+    over its contiguous pixel-tile range (the backward kernel masks lanes
+    past the frame), losses and parameter gradients are reduced with one
+    psum over the data axis. step(params, opt_state, target_flat, seed) ->
+    (params, opt_state, loss); target_flat is the full (npix, 3) frame,
+    sharded over the mesh's data axis by shard_map."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from .mesh import DATA_AXIS
+
+    n_data = mesh.shape[DATA_AXIS]
+    render = make_diff_renderer(
+        scene, camera, width, height, max(spp // 2, 1), distance=distance,
+        max_bounces=max_bounces, tile_rows=tile_rows, interpret=interpret)
+    lanes = render.lanes_per_tile
+    npix = render.npix
+    tiles_per_shard = -(-render.num_tiles // n_data)
+    shard_pixels = tiles_per_shard * lanes
+    render_shard = render.make_shard(tiles_per_shard)
+    padded = n_data * shard_pixels
+
+    def body(params, opt_state, target, seed):
+        di = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
+        base = di * jnp.int32(shard_pixels)
+        lane = base + jnp.arange(shard_pixels, dtype=jnp.int32)
+        valid = (lane < npix)[:, None]
+
+        def loss_fn(p):
+            a = render_shard(p, seed * 2, base)
+            b = render_shard(p, seed * 2 + 1, base)
+            err = jnp.where(valid, (a - target) * (b - target), 0.0)
+            return jax.lax.psum(jnp.sum(err), DATA_AXIS) / (npix * 3)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        # loss_fn already psums, so grads are replicated-consistent; the
+        # explicit psum keeps them bitwise identical across devices
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    repl = lambda tree: jax.tree_util.tree_map(lambda _: P(), tree)
+
+    @jax.jit
+    def step(params, opt_state, target_flat, seed):
+        pad = padded - npix
+        tgt = jnp.pad(target_flat, ((0, pad), (0, 0)))
+        fn = shard_map(
+            body, mesh=mesh,
+            in_specs=(repl(params), repl(opt_state), P(DATA_AXIS, None), P()),
+            out_specs=(repl(params), repl(opt_state), P()),
+            check_rep=False,
+        )
+        return fn(params, opt_state, tgt, jnp.asarray(seed, jnp.int32))
+
+    return step
+
+
 def fit_kernel(scene: Scene, camera, target, *, steps: int = 100,
                spp: int = 16, learning_rate=1.5e-3, distance: str = "free",
                max_bounces: int = 32, seed: int = 0, interpret: bool = False,

@@ -701,4 +701,82 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
         return unpack_params(gvec, S), seed_ct
 
     render.defvjp(render_fwd, render_bwd)
+
+    def make_shard(n_tiles: int):
+        """Shard-range variant for multi-chip kernel TRAINING
+        (dist/train_fast.make_sharded_kernel_train_step): render_shard(
+        params, seed, base_pixel) -> (n_tiles*LANES, 3) per-lane pixel
+        MEANS for the contiguous tile range starting at base_pixel, with a
+        matching custom VJP that runs the backward kernel over the same
+        range (lanes past npix contribute nothing — the kernel masks them).
+        base_pixel is a traced i32 (under shard_map it comes from
+        axis_index); seed/base cotangents are float0."""
+
+        def fwd_shard(pvec, seed, base_pixel):
+            outs = pl.pallas_call(
+                fwd_kernel,
+                grid=(n_tiles,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((R, 128), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+                    for _ in range(3)
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((n_tiles * R, 128), jnp.float32)
+                    for _ in range(3)
+                ],
+                interpret=interp,
+            )(pvec, jnp.reshape(seed, (1,)).astype(jnp.int32),
+              jnp.reshape(base_pixel, (1,)).astype(jnp.int32))
+            return jnp.stack([o.reshape(-1) for o in outs], axis=-1) / spp
+
+        def bwd_shard(pvec, seed, base_pixel, gbar):
+            planes = [gbar[:, i].reshape(n_tiles * R, 128) for i in range(3)]
+            out = pl.pallas_call(
+                bwd_kernel,
+                grid=(n_tiles,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ] + [
+                    pl.BlockSpec((R, 128), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+                    for _ in range(3)
+                ],
+                out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((n_tiles * 8, 128),
+                                               jnp.float32),
+                interpret=interp,
+            )(pvec, jnp.reshape(seed, (1,)).astype(jnp.int32),
+              jnp.reshape(base_pixel, (1,)).astype(jnp.int32), *planes)
+            return out.reshape(n_tiles, 8, 128)[:, 0, :].sum(axis=0)[:P]
+
+        @jax.custom_vjp
+        def render_shard(params, seed, base_pixel):
+            return fwd_shard(_flatten(params, S), seed, base_pixel)
+
+        def rs_fwd(params, seed, base_pixel):
+            pvec = _flatten(params, S)
+            return fwd_shard(pvec, seed, base_pixel), (pvec, seed, base_pixel)
+
+        def rs_bwd(res, gbar):
+            pvec, seed, base_pixel = res
+            gvec = bwd_shard(pvec, seed, base_pixel, gbar)
+            f0 = lambda x: np.zeros(np.shape(x), jax.dtypes.float0)
+            return unpack_params(gvec, S), f0(seed), f0(base_pixel)
+
+        render_shard.defvjp(rs_fwd, rs_bwd)
+        return render_shard
+
+    render.make_shard = make_shard
+    render.lanes_per_tile = LANES
+    render.num_tiles = num_tiles
+    render.npix = npix
     return render
