@@ -17,6 +17,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)  # allow f64 oracle-parity tests
+# persistent compile cache: the interpret-mode kernel tests cost minutes of
+# CPU compile each; cached across runs they are near-instant
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 import pytest  # noqa: E402
 

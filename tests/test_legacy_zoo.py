@@ -208,7 +208,10 @@ def test_vpt3_no_emitter_credit():
     assert np.all(L[:, 0] < 1.0), L[:5]
 
 
-@pytest.mark.parametrize("name", sorted(LEGACY_INTEGRATORS))
+@pytest.mark.parametrize(
+    "name",
+    [pytest.param(n, marks=pytest.mark.slow) if n == "vpt3" else n
+     for n in sorted(LEGACY_INTEGRATORS)])
 def test_legacy_smoke_cornell(name):
     """Every legacy name runs on the Cornell scene through the public API
     and produces finite output."""
