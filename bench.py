@@ -17,7 +17,11 @@ throughput on this machine (g++ -O3 -fopenmp, 4 threads; 1024*768*32 spp in
 gradient path at all, so the fwd+bwd number is compared against the same
 forward-only CPU baseline (the only number that exists).
 
-Usage: python bench.py [--quick] [--bwd] [--no-bwd]
+The geometric-gradient dual kernel (kernels/geom.py, image + 7 directional
+derivatives w.r.t. light position/camera origin/fov per pass) is measured
+into "geom_grad_paths_per_sec" (opt out with --no-geom).
+
+Usage: python bench.py [--quick] [--bwd] [--no-bwd] [--no-geom]
   --quick: 512x512 @ 16 spp (compile-cache-friendly smoke)
   default: the north-star workload, 1024x1024 @ 64 spp
 """
@@ -123,6 +127,29 @@ def main():
             print(f"# diff kernel unavailable ({type(e).__name__}: {e})",
                   file=sys.stderr)
 
+    # ---- geometric gradients: forward-mode dual kernel (K=7) -------------
+    geom_rate = None
+    if "--no-geom" not in sys.argv:
+        try:
+            from vpt.kernels.geom import make_geom_renderer, pack_theta
+
+            grender = make_geom_renderer(scene, camera, width, height, spp,
+                                         sphere=8, cam_grads=True,
+                                         max_bounces=32, tile_rows=8)
+            theta = pack_theta(scene, camera, 8)
+            def _gred(s):
+                img, tang = grender(theta, s)
+                return jnp.mean(img, axis=0), jnp.mean(tang, axis=(1, 2))
+
+            gred = jax.jit(_gred)
+            i0, t0_ = gred(jnp.int32(0))
+            assert np.isfinite(np.asarray(i0)).all()
+            assert np.isfinite(np.asarray(t0_)).all()
+            geom_rate = n_paths / _timed(lambda s: gred(jnp.int32(s)))
+        except Exception as e:
+            print(f"# geom kernel unavailable ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+
     if bwd_headline and bwd_rate is not None:
         out = {
             "metric": "render_throughput_fwd_bwd",
@@ -142,6 +169,11 @@ def main():
         if bwd_rate is not None:
             out["fwd_bwd_paths_per_sec"] = round(bwd_rate, 1)
             out["fwd_bwd_vs_baseline"] = round(bwd_rate / REF_PATHS_PER_SEC, 4)
+    if geom_rate is not None:
+        # image + 7 geometric derivative planes (light pos, cam origin, fov)
+        # per path — the reference/engine have no fast geometric path at all
+        out["geom_grad_paths_per_sec"] = round(geom_rate, 1)
+        out["geom_grad_vs_baseline"] = round(geom_rate / REF_PATHS_PER_SEC, 4)
     print(json.dumps(out))
 
 

@@ -18,9 +18,11 @@ import jax.numpy as jnp
 import optax
 
 from ..kernels.diff import make_diff_renderer, pack_params
+from ..kernels.geom import make_geom_renderer, pack_theta
 from ..scene.scene import Scene
 
-__all__ = ["make_kernel_train_step", "fit_kernel"]
+__all__ = ["make_kernel_train_step", "fit_kernel", "make_geom_train_step",
+           "fit_geom"]
 
 
 def make_kernel_train_step(scene: Scene, camera, width: int, height: int,
@@ -112,6 +114,68 @@ def make_sharded_kernel_train_step(scene: Scene, camera, width: int,
         return fn(params, opt_state, tgt, jnp.asarray(seed, jnp.int32))
 
     return step
+
+
+def make_geom_train_step(scene: Scene, camera, width: int, height: int,
+                         spp: int, optimizer: optax.GradientTransformation,
+                         *, sphere: int | None, cam_grads: bool = True,
+                         distance: str = "free", max_bounces: int = 32,
+                         tile_rows: int = 8, interpret: bool = False):
+    """Geometric inverse rendering at kernel speed: optimize a sphere
+    (light) center and/or the camera origin+fov through the forward-mode
+    dual kernel (kernels/geom.py). Same A/B unbiased MSE as the other
+    steps; theta is the kernels.geom pytree (pack_theta).
+
+    step(theta, opt_state, target_flat, seed) -> (theta, opt_state, loss).
+    """
+    render = make_geom_renderer(
+        scene, camera, width, height, max(spp // 2, 1), sphere=sphere,
+        cam_grads=cam_grads, distance=distance, max_bounces=max_bounces,
+        tile_rows=tile_rows, interpret=interpret)
+    gr = render.grad_render
+
+    @jax.jit
+    def step(theta, opt_state, target_flat, seed):
+        def loss_fn(th):
+            a = gr(th, seed * 2)
+            b = gr(th, seed * 2 + 1)
+            return jnp.mean((a - target_flat) * (b - target_flat))
+
+        loss, grads = jax.value_and_grad(loss_fn)(theta)
+        updates, opt_state = optimizer.update(grads, opt_state, theta)
+        theta = optax.apply_updates(theta, updates)
+        return theta, opt_state, loss
+
+    return step
+
+
+def fit_geom(scene: Scene, camera, target, *, sphere: int | None,
+             cam_grads: bool = True, steps: int = 60, spp: int = 16,
+             learning_rate=2e-1, distance: str = "free",
+             max_bounces: int = 32, tile_rows: int = 8, seed: int = 0,
+             interpret: bool = False, param_filter=None, log_every: int = 0):
+    """Recover geometric parameters (light position / camera) from a target
+    (H, W, 3) image with the dual kernel. Returns (theta, losses)."""
+    height, width = target.shape[:2]
+    optimizer = optax.adam(learning_rate)
+    theta = pack_theta(scene, camera, sphere)
+    init = dict(theta)
+    opt_state = optimizer.init(theta)
+    step = make_geom_train_step(scene, camera, width, height, spp, optimizer,
+                                sphere=sphere, cam_grads=cam_grads,
+                                distance=distance, max_bounces=max_bounces,
+                                tile_rows=tile_rows, interpret=interpret)
+    target_flat = jnp.asarray(target).reshape(width * height, 3)
+    losses = []
+    for i in range(steps):
+        theta, opt_state, loss = step(theta, opt_state, target_flat,
+                                      jnp.int32(seed + i))
+        if param_filter is not None:
+            theta = param_filter(theta, init)
+        losses.append(float(loss))
+        if log_every and i % log_every == 0:
+            print(f"step {i:4d}  loss {losses[-1]:.6g}")
+    return theta, losses
 
 
 def fit_kernel(scene: Scene, camera, target, *, steps: int = 100,

@@ -1,0 +1,504 @@
+"""Geometric-gradient fused Pallas renderer: forward-mode dual numbers.
+
+Completes the fast differentiable path over the BASELINE.json #5 parameter
+set: kernels/diff.py covers the medium/material block {sigma_a, sigma_s,
+albedo, radiance} with a reverse-mode replay kernel; THIS kernel covers the
+geometric block — a sphere (light) CENTER, the CAMERA origin and fov — whose
+reverse-mode adjoint would have to re-derive every intersection/normal/NEE
+chain.  Forward mode fits the shape of the problem: K <= 7 directions
+(3 center + 3 camera origin + 1 fov), millions of pixels, so one dual pass
+computes the image AND all K directional image-derivatives in a single
+persistent-wavefront kernel sweep — no tape, no replay.
+
+Estimator = the engine's detached-decision pathwise gradient
+(integrators/engine.py, tests/test_grad.py): random uniforms and event masks
+(hit/miss, surface-vs-medium, RR, light pick, lobe choice, visibility) are
+detached; every smooth chain (camera ray, intersection t, normals, cone
+directions/pdfs, transmittances, 1/d^2, BxDF values, equi-angular
+reparameterization) propagates tangents — kernels/dual.py implements exactly
+these conventions, so the tangents are forward-mode transposes of what
+jax.grad computes through the engine.
+
+The loop body mirrors kernels/diff.py's forward path draw-for-draw
+(identical PCG streams), so the primal plane equals the fused forward
+kernel's image at the same seed — tested in tests/test_geom_kernel.py.
+
+KNOWN ESTIMATOR LIMITATION (shared with the engine's AD — both pass the
+statistical cross-check in tests/test_geom_kernel.py): detaching event
+masks drops the BOUNDARY terms of geometric derivatives — the sweep of
+silhouettes, shadow edges, and the emitter's own visible disk across
+pixels. Consequences, measured on the real chip (.scratch round-2 logs):
+point-light-position recovery in the Cornell scene descends 8 units of
+start offset to ~2.3 units of residual bias in ~40 adam steps (the smooth
+NEE chains dominate but shadow boundaries shift the fixed point); a bare
+emitter whose image is mostly
+its own disk cannot be localized at all (the disk motion is 100% boundary
+term). Exact geometric gradients would need edge/silhouette sampling
+(reparameterized boundary integrals) — out of the reference's scope, a
+candidate for a future round.
+
+Reference: the geometry being differentiated is the hardcoded scene of
+Sphere.cpp:7-23 and the camera of src/rt.cpp:755-759; the estimator is the
+iterativeVPTracerFree family (vptShadeMethods.h:1263-1340) and the
+equi-angular explicitVPTracerRecursive family (vptShadeMethods.h:1014-1149).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene.scene import Scene
+from . import dual as du
+from .prims import BIG, INV_4PI, Pcg, pcg_seed
+from .wavefront import _scene_consts
+
+__all__ = ["make_geom_renderer", "pack_theta"]
+
+
+def pack_theta(scene: Scene, camera, sphere: int | None):
+    """Geometric parameter pytree: the differentiated sphere's center plus
+    the camera origin and fov scale (always present — traced from SMEM so
+    training never recompiles; tangents only for the enabled blocks)."""
+    center = (jnp.zeros(3, jnp.float32) if sphere is None
+              else jnp.asarray(scene.center[sphere], jnp.float32))
+    return {
+        "center": center,
+        "cam_origin": jnp.asarray(camera.origin, jnp.float32),
+        "fov": jnp.asarray(camera.fov_scale, jnp.float32),
+    }
+
+
+def make_geom_renderer(scene: Scene, camera, width: int, height: int,
+                       spp: int, *, sphere: int | None,
+                       cam_grads: bool = True, nee: bool = True,
+                       distance: str = "free",
+                       continue_prob: float = 0.6, max_bounces: int = 32,
+                       tile_rows: int = 8, jitter: bool = True,
+                       interpret: bool = False):
+    """Build render(theta, seed) -> (img (npix,3), tang (K, npix, 3)).
+
+    theta = pack_theta(...)-shaped dict; `sphere` selects which sphere's
+    center carries the 3 center tangent directions (None disables the
+    block), cam_grads enables the 3+1 camera directions.  tang[k] is the
+    directional derivative d(img)/d(theta_k) for the basis order
+    [center.xyz?, cam_origin.xyz?, fov?].
+
+    render.grad_render(theta, seed) is a custom-VJP image function: under
+    jax.grad it contracts the tangent planes with the image cotangent and
+    returns theta-shaped gradients (usable directly in a training loop).
+    """
+    if sphere is None and not cam_grads:
+        raise ValueError("no differentiated block enabled")
+    sc = _scene_consts(scene)
+    S = len(sc["r"])
+    cp = float(continue_prob)
+    q = 1.0 - cp
+    R = tile_rows
+    LANES = R * 128
+    npix = width * height
+    num_tiles = -(-npix // LANES)
+
+    n_center = 3 if sphere is not None else 0
+    n_cam = 4 if cam_grads else 0
+    K = n_center + n_cam
+    k_cam = n_center
+
+    cam_d = [float(v) for v in np.asarray(camera.direction, np.float64)]
+
+    emitters = sc["emitters"]
+    n_em = len(emitters)
+    mis_lights = sc["mis_lights"]
+    max_iters = spp * max_bounces + 64
+    sigma_t = sc["sigma_a"] + sc["sigma_s"]
+    inv_st = 1.0 / sigma_t
+    ar_cp = sc["sigma_s"] * inv_st / cp
+    ss = sc["sigma_s"]
+    NPLANES = 3 * (1 + K)
+
+    def basis(k):
+        """Tangent seed tuple: 1.0 in direction k, structural zero elsewhere."""
+        return tuple(1.0 if i == k else None for i in range(K))
+
+    def kernel(theta_ref, seed_ref, base_ref, *outs):
+        # --- dual parameters from SMEM ---------------------------------
+        pc = [theta_ref[i] for i in range(3)]
+        co = [theta_ref[3 + i] for i in range(3)]
+        fv = theta_ref[6]
+        if sphere is not None:
+            ctr_dual = [du.D(pc[i], basis(i)) for i in range(3)]
+        if cam_grads:
+            cam_o = [du.D(co[i], basis(k_cam + i)) for i in range(3)]
+            fov = du.D(fv, basis(k_cam + 3))
+        else:
+            cam_o = co
+            fov = fv
+        ctr_tab = [ctr_dual if s_ == sphere else
+                   [float(v) for v in sc["c"][s_]] for s_ in range(S)]
+
+        # camera frame (src/rt.cpp:755-759): cx along +x scaled by fov,
+        # cy = normalize(cx x d) * fov — the normalize cancels the scale
+        # tangent, leaving cy's tangent = unit vector (exactly like the
+        # engine's AD through scene/camera.py)
+        cx = [fov * (width / height), 0.0, 0.0]
+        cy_u = du.normalize3(du.cross3(cx, cam_d))
+        cy = [cy_u[i] * fov for i in range(3)]
+
+        pid = pl.program_id(0)
+        base = base_ref[0] + pid * LANES
+        row = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+        lane = base + row * 128 + col
+        pixel = jnp.minimum(lane, npix - 1)
+        px = (pixel % width).astype(jnp.float32)
+        py = (height - 1 - pixel // width).astype(jnp.float32)
+        z = jnp.zeros((R, 128), jnp.float32)
+
+        # --- dual <-> flat carry helpers -------------------------------
+        def mats(x):
+            v, t = du.val(x), du.tan(x)
+            out = [v + z]
+            for k in range(K):
+                tk = None if t is None else t[k]
+                out.append(z if tk is None else tk + z)
+            return out
+
+        def mat3(vec):
+            return [a for c in range(3) for a in mats(vec[c])]
+
+        def und(flat):
+            return du.D(flat[0], tuple(flat[1:1 + K]))
+
+        def und3(flat):
+            return [und(flat[c * (1 + K):(c + 1) * (1 + K)]) for c in range(3)]
+
+        def camera_ray(rng):
+            u = rng() if jitter else jnp.full((R, 128), 0.5, jnp.float32)
+            v = rng() if jitter else jnp.full((R, 128), 0.5, jnp.float32)
+            sx = (px + u - 0.5) / width - 0.5
+            sy = (py + v - 0.5) / height - 0.5
+            d = [cx[i] * sx + cy[i] * sy + cam_d[i] for i in range(3)]
+            return du.normalize3(d)
+
+        def light_attrs(u_pick):
+            k = jnp.clip((u_pick * n_em).astype(jnp.int32), 0, n_em - 1)
+            lc = [z, z, z]
+            lrad = [z, z, z]
+            lr = z
+            lid = jnp.full((R, 128), -1, jnp.int32)
+            for j, e in enumerate(emitters):
+                m = k == j
+                lc = du.sel3(m, ctr_tab[e], lc)
+                lrad = du.sel3(m, [float(sc["rad"][e][i]) for i in range(3)],
+                               lrad)
+                lr = jnp.where(m, jnp.float32(sc["r"][e]), lr)
+                lid = jnp.where(m, e, lid)
+            return lc, lrad, lr, lid
+
+        def plight_term(at, xs, n, d, lc, lrad):
+            vis, dist = du.visibility_from(sc, ctr_tab, lc, xs)
+            le_scale = du.where(vis,
+                                1.0 / du.maximum(dist * dist, 1e-20), z)
+            wi = du.normalize3([lc[0] - xs[0], lc[1] - xs[1], lc[2] - xs[2]])
+            fr = du.eval_fr_nee_plight(at, n, d, wi)
+            cosw = du.dot3(n, wi)
+            return [lrad[i] * (le_scale * fr[i] * cosw) for i in range(3)]
+
+        def mis_v2(rng, at, xs, n, d):
+            acc = [z, z, z]
+            wo = [-d[0], -d[1], -d[2]]
+            for e in mis_lights:
+                ec = ctr_tab[e]
+                er = float(sc["r"][e])
+                cxv = [ec[i] - xs[i] for i in range(3)]
+                normcx = du.norm3(cxv)
+                wc = du.scale3(cxv, 1.0 / normcx)
+                ratio = er / normcx
+                cos_max = du.sqrt(du.maximum(1.0 - ratio * ratio, 1e-12))
+                wi = du.cone_dir(wc, cos_max, rng(), rng())
+                hit, _, sid = du.nearest_id_t(sc, ctr_tab, xs, wi)
+                visible = hit & (sid == e)
+                fr = du.eval_fr_nee(at, n, d, wi)
+                fpdf = du.cone_pdf(cos_max)
+                tr = du.exp(normcx * (-sigma_t))
+                w_vis = du.where(visible, tr * du.dot3(n, wi) / fpdf, z)
+                gpdf = du.bsdf_pdf_for_dir(at, n, wo, wi, rng())
+                wf = du.power_h(fpdf, gpdf)
+                for i in range(3):
+                    acc[i] = acc[i] + float(sc["rad"][e][i]) * (
+                        fr[i] * w_vis * wf)
+            # BSDF strategy (misSamplingFunctions.h:132-167)
+            u1, u2, u_choice = rng(), rng(), rng()
+            wi_l = du.cosine_hemi(n, u1, u2)
+            wt_, _ = du.refract_quirk(wo, n)
+            fres = du.fresnel_die(du.dot3(n, wt_), du.dot3(n, wo))
+            refl = u_choice < du.val(fres)
+            ndotwo = du.dot3(n, wo)
+            wr = du.normalize3([2.0 * ndotwo * n[i] - wo[i] for i in range(3)])
+            wi_d = du.sel3(refl, wr, wt_)
+            wh_loc = du.beckmann_wh(at["alpha"], u1, u2)
+            wo_loc = du.to_local(n, wo)
+            whw = 2.0 * du.dot3(wh_loc, wo_loc)
+            wi_m_loc = du.normalize3([whw * wh_loc[i] - wo_loc[i]
+                                      for i in range(3)])
+            wi_m = du.normalize3(du.from_local(n, wi_m_loc))
+            wi_sel = du.sel3(at["is_mic"], wi_m,
+                             du.sel3(at["is_die"], wi_d, wi_l))
+            hit, _, sid2 = du.nearest_id_t(sc, ctr_tab, xs, wi_sel)
+            le = [z, z, z]
+            hit_r = z
+            hc = [z, z, z]
+            for s_ in range(S):
+                m = sid2 == s_
+                le = du.sel3(m, [float(sc["rad"][s_][i]) for i in range(3)],
+                             le)
+                hit_r = jnp.where(m, jnp.float32(sc["r"][s_]), hit_r)
+                hc = du.sel3(m, ctr_tab[s_], hc)
+            cos_l = du.dot3(n, wi_l)
+            gpdf_l = cos_l * (1.0 / math.pi)
+            inv_gl = cos_l / du.where(gpdf_l != 0.0, gpdf_l, 1e-12 + z)
+            g_l = [le[i] * (at[("ar", "ag", "ab")[i]] * (1.0 / math.pi)
+                            * inv_gl) for i in range(3)]
+            cos_d = du.absd(du.dot3(n, wi_d))
+            scale_d = (1.0 / du.maximum(cos_d, 1e-12)) * jnp.where(
+                refl, 1.0, du.GLASS_ETA_T * du.GLASS_ETA_T)
+            g_d = [le[i] * scale_d for i in range(3)]
+            gpdf_d = du.where(refl, fres, 1.0 - fres)
+            fr_m = du.fr_microfacet(at, wi_m_loc, wh_loc, wo_loc)
+            gpdf_m = du.ndf_beckmann(wh_loc[2], at["alpha"]) * wh_loc[2] / (
+                4.0 * du.maximum(du.absd(du.dot3(wo_loc, wh_loc)), 1e-12))
+            g_m = [le[i] * (fr_m[i] * wi_m_loc[2]
+                            / du.maximum(gpdf_m, 1e-20)) for i in range(3)]
+            g = du.sel3(at["is_mic"], g_m, du.sel3(at["is_die"], g_d, g_l))
+            gpdf = du.where(at["is_mic"], gpdf_m,
+                            du.where(at["is_die"], gpdf_d, gpdf_l))
+            pos_all = ((du.val(g[0]) > 0.0) & (du.val(g[1]) > 0.0)
+                       & (du.val(g[2]) > 0.0))
+            gate = ((at["is_mic"] & (du.val(g[0]) > 0.0))
+                    | (~at["is_mic"] & pos_all))
+            hcx = [hc[i] - xs[i] for i in range(3)]
+            n2 = du.maximum(du.dot3(hcx, hcx), 1e-20)
+            cmax = du.sqrt(du.maximum(1.0 - hit_r * hit_r / n2, 1e-12))
+            fpdf_h = du.cone_pdf(cmax)
+            wg = du.where(gate & hit, du.power_h(gpdf, fpdf_h), z)
+            return [acc[i] + g[i] * wg for i in range(3)]
+
+        def medium_nee(rng, xt, lc, lrad, lr, lid):
+            wc = [lc[i] - xt[i] for i in range(3)]
+            wc_mag = du.norm3(wc)
+            wc_n = du.scale3(wc, 1.0 / wc_mag)
+            ratio = lr / wc_mag
+            cos_max = du.sqrt(du.maximum(1.0 - ratio * ratio, 1e-12))
+            wl = du.cone_dir(wc_n, cos_max, rng(), rng())
+            hit, t, sid = du.nearest_id_t(sc, ctr_tab, xt, wl)
+            visible = hit & (sid == lid) & (lr > 0.0)
+            w = du.where(visible,
+                         du.exp(t * (-sigma_t)) * INV_4PI
+                         / du.cone_pdf(cos_max), z)
+            return [lrad[i] * w for i in range(3)]
+
+        # ------------- the persistent loop -----------------------------
+        def loop_body(state):
+            (o_f, d_f, tp_f, L_f, alive_i, depth, samples, it, rngs) = state
+            o, d, tp = und3(o_f), und3(d_f), und3(tp_f)
+            L = und3(L_f)
+            alive = alive_i > 0
+            rng = Pcg(rngs)
+            need = (~alive) & (samples < spp)
+            nd = camera_ray(rng)
+            one = 1.0 + z
+            o = du.sel3(need, cam_o, o)
+            d = du.sel3(need, nd, d)
+            tp = du.sel3(need, [one, one, one], tp)
+            alive = alive | need
+            depth = jnp.where(need, 0, depth)
+            was_alive = alive
+
+            # ---- bounce (same draw order as kernels/diff.py) ----------
+            u_rr = rng()
+            alive = alive & (u_rr >= q)
+            hit, t, at = du.nearest(sc, ctr_tab, o, d)
+            t_eff = du.where(hit, t, BIG + z)
+            xs = [o[i] + t_eff * d[i] for i in range(3)]
+            nrm = du.normalize3([xs[0] - at["cx"], xs[1] - at["cy"],
+                                 xs[2] - at["cz"]])
+            lc, lrad, lr, lid = light_attrs(rng())
+            inv_ps = float(n_em)
+
+            u_dist = rng()
+            if distance == "free":
+                d_s = -jnp.log1p(-u_dist) * inv_st       # sigma-only: plain
+                surface = (t_eff < d_s) & hit
+                xt = [o[i] + d[i] * d_s for i in range(3)]
+            else:
+                # equiAngularParams2 + Bernoulli(TrActual): the distance
+                # transform is pure geometry, so it REPARAMETERIZES — xt
+                # moves with the light/camera exactly as in the engine
+                # (volumetricBasicFunctions.h:209-223)
+                lo_v = [lc[i] - o[i] for i in range(3)]
+                delta = du.dot3(lo_v, d)
+                Dq = du.sqrt(du.maximum(
+                    du.dot3(lo_v, lo_v) - delta * delta, 1e-12))
+                th_a = du.atan2_posx(-delta, Dq)
+                th_b = du.atan2_posx(t_eff - delta, Dq)
+                sample_t = Dq * du.tan_sc(
+                    th_a * (1.0 - u_dist) + th_b * u_dist)
+                d_along = sample_t + delta
+                xt = [o[i] + d_along * d[i] for i in range(3)]
+                dist_pdf = Dq / (du.maximum(du.absd(th_b - th_a), 1e-12)
+                                 * (sample_t * sample_t + Dq * Dq))
+                tr_act = du.where(hit, du.exp(t * (-sigma_t)), z)
+                u_ev = rng()
+                surface = (tr_act >= u_ev) & hit
+                one_m_tr = du.maximum(1.0 - tr_act, 1e-20)
+                pdf_success = dist_pdf * one_m_tr
+                t_xt = du.exp(du.absd(d_along) * (-sigma_t))
+            medium = alive & ~surface
+            shade_pre = alive & surface
+
+            em_hit = surface & at["is_em"]
+            credit = (alive & em_hit & (depth == 0) if nee
+                      else alive & em_hit)
+            radh = [at["rr"], at["rg"], at["rb"]]
+            for i in range(3):
+                L[i] = L[i] + du.where(credit, radh[i] * tp[i], z)
+            shade = alive & surface & ~em_hit
+
+            if nee:
+                lxs = [xs[i] - lc[i] for i in range(3)]
+                dist_ls = du.norm3(lxs)
+                trs = du.exp(dist_ls * (-sigma_t))
+                ldp = plight_term(at, xs, nrm, d, lc, lrad)
+                ldm = mis_v2(rng, at, xs, nrm, d)
+                for i in range(3):
+                    L[i] = L[i] + du.where(
+                        shade,
+                        (ldp[i] * trs * inv_ps + ldm[i]) * tp[i] * (1.0 / cp),
+                        z)
+
+            fs, wi_s, pdf_b = du.sample_bsdf(rng, at, d, nrm)
+            cosine = du.dot3(nrm, wi_s)
+            wscale = cosine / (du.maximum(pdf_b, 1e-20) * cp)
+            tp_surface = [tp[i] * fs[i] * wscale for i in range(3)]
+
+            u_p1, u_p2 = rng(), rng()
+            wi_m = du.uniform_sphere(u_p1, u_p2)      # plain: pure uniforms
+            if distance == "free":
+                med_scale = ar_cp                     # python float
+            else:
+                med_scale = (t_xt / pdf_success) * (ss / cp)
+            if nee:
+                ld_med = medium_nee(rng, xt, lc, lrad, lr, lid)
+                for i in range(3):
+                    L[i] = L[i] + du.where(
+                        medium, ld_med[i] * inv_ps * tp[i] * med_scale, z)
+            tp_medium = [tp[i] * med_scale for i in range(3)]
+
+            o = du.sel3(shade, xs, du.sel3(medium, xt, o))
+            d = du.sel3(shade, wi_s, du.sel3(medium, wi_m, d))
+            tp = du.sel3(shade, tp_surface, du.sel3(medium, tp_medium, tp))
+            alive2 = (shade | medium) & (depth + 1 < max_bounces)
+            depth = jnp.where(alive2, depth + 1, depth)
+            finished = was_alive & ~alive2
+            samples = samples + finished.astype(jnp.int32)
+
+            return (mat3(o), mat3(d), mat3(tp), mat3(L),
+                    alive2.astype(jnp.int32), depth, samples, it + 1, rng.s)
+
+        def loop_cond(state):
+            samples, it = state[6], state[7]
+            return (it < max_iters) & jnp.any(samples < spp)
+
+        zf = [z] * (3 * (1 + K))
+        d0 = list(zf)
+        d0[2 * (1 + K)] = 1.0 + z      # d.z primal = 1 (unit init direction)
+        state = (
+            list(zf), d0, list(zf), list(zf),
+            jnp.zeros((R, 128), jnp.int32),
+            jnp.zeros((R, 128), jnp.int32),
+            jnp.zeros((R, 128), jnp.int32),
+            jnp.asarray(0, jnp.int32),
+            pcg_seed(lane, seed_ref[0]),
+        )
+        state = jax.lax.while_loop(loop_cond, loop_body, state)
+        L_f = state[3]
+        for j in range(NPLANES):
+            outs[j][:] = L_f[j]
+
+    interp = pltpu.InterpretParams() if interpret else False
+
+    @jax.jit
+    def run(theta_vec, seed):
+        outs = pl.pallas_call(
+            kernel,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((R, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(NPLANES)
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((num_tiles * R, 128), jnp.float32)
+                for _ in range(NPLANES)
+            ],
+            interpret=interp,
+        )(theta_vec, jnp.reshape(seed, (1,)).astype(jnp.int32),
+          jnp.asarray([0], jnp.int32))
+        flat = [o.reshape(-1)[:npix] * (1.0 / spp) for o in outs]
+        img = jnp.stack([flat[c * (1 + K)] for c in range(3)], axis=-1)
+        tang = jnp.stack([
+            jnp.stack([flat[c * (1 + K) + 1 + k] for c in range(3)], axis=-1)
+            for k in range(K)
+        ]) if K else jnp.zeros((0, npix, 3), jnp.float32)
+        return img, tang
+
+    def _flatten(theta):
+        return jnp.concatenate([
+            jnp.reshape(theta["center"], (3,)).astype(jnp.float32),
+            jnp.reshape(theta["cam_origin"], (3,)).astype(jnp.float32),
+            jnp.reshape(theta["fov"], (1,)).astype(jnp.float32),
+        ])
+
+    def render(theta, seed):
+        return run(_flatten(theta), seed)
+
+    # --- custom-VJP image function for reverse-mode training loops -----
+    @jax.custom_vjp
+    def grad_render(theta, seed):
+        return run(_flatten(theta), seed)[0]
+
+    def gr_fwd(theta, seed):
+        img, tang = run(_flatten(theta), seed)
+        return img, tang
+
+    def gr_bwd(tang, gbar):
+        # contract each tangent image with the cotangent: dL/dtheta_k
+        g = jnp.tensordot(tang, gbar, axes=[[1, 2], [0, 1]])  # (K,)
+        gc = g[:n_center] if n_center else jnp.zeros(0, jnp.float32)
+        gcam = g[n_center:]
+        zero3 = jnp.zeros(3, jnp.float32)
+        theta_ct = {
+            "center": gc if n_center else zero3,
+            "cam_origin": gcam[:3] if cam_grads else zero3,
+            "fov": gcam[3] if cam_grads else jnp.zeros((), jnp.float32),
+        }
+        return theta_ct, np.zeros((), jax.dtypes.float0)
+
+    grad_render.defvjp(gr_fwd, gr_bwd)
+
+    render.grad_render = grad_render
+    render.K = K
+    render.basis_names = (tuple(f"center.{a}" for a in "xyz")[:n_center]
+                          + (("cam_origin.x", "cam_origin.y", "cam_origin.z",
+                              "fov") if cam_grads else ()))
+    render.npix = npix
+    return render
