@@ -23,22 +23,30 @@ def initialize(coordinator_address: str | None = None,
     """Bring up the multi-host runtime (idempotent on a single host).
 
     With no arguments, relies on the TPU environment variables the runtime
-    sets on pod slices; explicit args support manual bring-up/testing.
+    sets on pod slices and tolerates single-host environments where
+    auto-detection fails. Explicit args are a manual bring-up (tests,
+    bare-metal): failures there are real and raise.
+
+    CPU rehearsal (tests/test_multihost.py): set
+    ``jax.config.update("jax_cpu_collectives_implementation", "gloo")``
+    before calling — cross-process CPU collectives then ride gloo exactly
+    where DCN sits on a pod.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
-    try:
-        if coordinator_address is None and num_processes is None:
+    # NB: must not touch the backend here (jax.process_count() would
+    # initialise XLA and make jax.distributed.initialize impossible)
+    if jax.distributed.is_initialized():
+        return
+    if coordinator_address is None and num_processes is None:
+        try:
             jax.distributed.initialize()
-        else:
-            jax.distributed.initialize(
-                coordinator_address=coordinator_address,
-                num_processes=num_processes,
-                process_id=process_id,
-            )
-    except (RuntimeError, ValueError):
-        # single-host (or already-initialized) environments
-        pass
+        except (RuntimeError, ValueError):
+            pass  # single-host / no cluster env: stay single-process
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
 
 
 def global_mesh(sample_shards: int | None = None):
@@ -49,10 +57,15 @@ def global_mesh(sample_shards: int | None = None):
     return make_mesh(jax.devices(), sample_shards=sample_shards)
 
 
-def assemble_image(flat_local, cfg):
-    """Host-local gather of a pixel-sharded render into a full (H, W, 3)
-    numpy image via process_allgather (DCN)."""
+def assemble_image(flat, cfg):
+    """Gather a pixel-sharded render into a full (H, W, 3) numpy image on
+    every host via process_allgather (DCN).
+
+    Accepts either the global jax.Array render_sharded returns (tiled
+    gather of the non-addressable shards) or an already host-local
+    (npix_local, 3) array (stacked then flattened along pixels)."""
     from jax.experimental import multihost_utils
 
-    gathered = multihost_utils.process_allgather(flat_local)
+    is_global = isinstance(flat, jax.Array) and not flat.is_fully_addressable
+    gathered = multihost_utils.process_allgather(flat, tiled=is_global)
     return np.asarray(gathered).reshape(cfg.height, cfg.width, 3)
