@@ -101,6 +101,35 @@ def test_train_step_updates_and_replicates():
         assert np.isfinite(np.asarray(v)).all()
 
 
+def test_train_step_stays_in_physical_domain():
+    """Projected gradient descent (dist.project_params): with lr ~ 1e-2 and
+    the reference's sigma ~ 1e-3, Adam's very first unconstrained update
+    lands sigma NEGATIVE, after which the score-function sigma gradient
+    (log sigma_t) is NaN while the loss stays finite — training silently
+    diverges. Found by the 2-process DCN rehearsal; the step must keep every
+    parameter inside its domain across repeated updates."""
+    mesh = make_mesh()
+    spec = engine.IntegratorSpec(max_bounces=4, sigma_score=True)
+    W = H = 8
+    npix = W * H
+    pixel_ids = jnp.arange(npix, dtype=jnp.int32)
+    target = jnp.full((npix, 3), 0.05)
+    optimizer = optax.adam(1e-2)  # deliberately >> sigma's scale
+    params = scene_params(SCENE, CAM)
+    opt_state = optimizer.init(params)
+    step = make_train_step(mesh, spec, W, H, spp=2, optimizer=optimizer)
+    for i in range(3):
+        params, opt_state, loss = step(params, opt_state, SCENE, CAM, target,
+                                       pixel_ids, jax.random.PRNGKey(10 + i))
+        assert np.isfinite(float(loss)), i
+    for k, v in params.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    assert float(params["sigma_a"]) > 0 and float(params["sigma_s"]) > 0
+    assert (np.asarray(params["albedo"]) >= 0).all()
+    assert (np.asarray(params["albedo"]) <= 1).all()
+    assert (np.asarray(params["radiance"]) >= 0).all()
+
+
 def test_checkpoint_resume_bitstable(tmp_path):
     from vpt.utils.checkpoint import render_progressive
 

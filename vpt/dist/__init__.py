@@ -6,13 +6,15 @@ shard_map + XLA collectives over ICI).
 """
 from .mesh import DATA_AXIS, SAMPLE_AXIS, make_mesh, mesh_shape_for
 from .sharded import render_sharded
-from .train import apply_params, fit, make_train_step, scene_params
+from .train import (apply_params, fit, make_train_step, project_params,
+                    scene_params)
 from .train_fast import (fit_geom, fit_kernel, make_geom_train_step,
                          make_kernel_train_step)
 
 __all__ = [
     "DATA_AXIS", "SAMPLE_AXIS", "make_mesh", "mesh_shape_for",
-    "render_sharded", "scene_params", "apply_params", "make_train_step", "fit",
+    "render_sharded", "scene_params", "apply_params", "project_params",
+    "make_train_step", "fit",
     "make_kernel_train_step", "fit_kernel", "make_geom_train_step",
     "fit_geom",
 ]

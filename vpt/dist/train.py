@@ -27,7 +27,35 @@ from ..scene import camera as cam
 from ..scene.scene import Medium, Scene
 from .mesh import DATA_AXIS, SAMPLE_AXIS
 
-__all__ = ["scene_params", "apply_params", "make_train_step", "fit"]
+__all__ = ["scene_params", "apply_params", "project_params",
+           "make_train_step", "fit"]
+
+# physical-domain bounds applied after each optimizer update; keys absent
+# from a params pytree are simply not constrained
+_DOMAIN = {
+    # strictly positive: the score-function sigma estimator differentiates
+    # log(sigma_t) (engine sigma_score), and free-flight sampling assumes a
+    # non-negative extinction — one Adam step with lr ~ 1e-2 from the
+    # reference's sigma ~ 1e-3 otherwise lands NEGATIVE and every later
+    # gradient is NaN (found by the 2-process DCN rehearsal, round 2)
+    "sigma_a": (1e-6, None),
+    "sigma_s": (1e-6, None),
+    "albedo": (0.0, 1.0),
+    "radiance": (0.0, None),
+}
+
+
+def project_params(params: dict) -> dict:
+    """Project a parameter pytree onto its physical domain (see _DOMAIN).
+
+    Applied inside every train step (projected gradient descent): plain
+    unconstrained updates can leave the domain in one step, after which the
+    loss may stay finite while the gradients are NaN — silent divergence."""
+    out = dict(params)
+    for k, (lo, hi) in _DOMAIN.items():
+        if k in out:
+            out[k] = jnp.clip(out[k], lo, hi)
+    return out
 
 
 def scene_params(scene: Scene, camera: cam.Camera) -> dict:
@@ -133,7 +161,7 @@ def make_train_step(
         # all-reduce partial grads over both mesh axes -> replicated grads
         grads = jax.lax.psum(grads, (DATA_AXIS, SAMPLE_AXIS))
         updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        params = project_params(optax.apply_updates(params, updates))
         return params, opt_state, loss
 
     def jitted(params, opt_state, scene, camera, target_flat, pixel_ids, key):

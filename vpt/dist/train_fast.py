@@ -20,6 +20,7 @@ import optax
 from ..kernels.diff import make_diff_renderer, pack_params
 from ..kernels.geom import make_geom_renderer, pack_theta
 from ..scene.scene import Scene
+from .train import project_params
 
 __all__ = ["make_kernel_train_step", "fit_kernel", "make_geom_train_step",
            "fit_geom"]
@@ -45,7 +46,7 @@ def make_kernel_train_step(scene: Scene, camera, width: int, height: int,
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        params = project_params(optax.apply_updates(params, updates))
         return params, opt_state, loss
 
     return step
@@ -96,7 +97,7 @@ def make_sharded_kernel_train_step(scene: Scene, camera, width: int,
         # loss_fn already psums, so grads are replicated-consistent; the
         # explicit psum keeps them bitwise identical across devices
         updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        params = project_params(optax.apply_updates(params, updates))
         return params, opt_state, loss
 
     repl = lambda tree: jax.tree_util.tree_map(lambda _: P(), tree)
