@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..scene.scene import Scene
@@ -68,7 +68,7 @@ def build_sharded_pallas(scene: Scene, camera, cfg, mesh: Mesh,
         body, mesh=mesh,
         in_specs=(P(),),
         out_specs=P(DATA_AXIS, None),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit

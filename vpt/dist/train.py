@@ -18,7 +18,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import optax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core import rng
@@ -182,7 +182,7 @@ def make_train_step(
                 _replicated_specs(opt_state),
                 P(),
             ),
-            check_rep=False,
+            check_vma=False,
         )
         return fn(params, opt_state, scene, camera, target_flat, pixel_ids, key)
 

@@ -66,7 +66,7 @@ def make_sharded_kernel_train_step(scene: Scene, camera, width: int,
     (params, opt_state, loss); target_flat is the full (npix, 3) frame,
     sharded over the mesh's data axis by shard_map."""
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from .mesh import DATA_AXIS
 
@@ -110,7 +110,7 @@ def make_sharded_kernel_train_step(scene: Scene, camera, width: int,
             body, mesh=mesh,
             in_specs=(repl(params), repl(opt_state), P(DATA_AXIS, None), P()),
             out_specs=(repl(params), repl(opt_state), P()),
-            check_rep=False,
+            check_vma=False,
         )
         return fn(params, opt_state, tgt, jnp.asarray(seed, jnp.int32))
 
