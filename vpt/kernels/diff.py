@@ -195,22 +195,23 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 return lc, lrad, lr, lid
 
             def plight_term(at, xs, n, d, lc, lrad):
-                """pLight + partials: (ldp, coef=d/dlrad, lam=d/dalb)."""
-                vis, dist = pr.visibility_from(sc, lc, xs)
+                """pLight + partials: (ldp, coef=d/dlrad, lam=d/dalb, dist —
+                callers reuse the xs->light distance for trs)."""
+                vis, dist, dl = pr.visibility_from(sc, lc, xs)
                 le_scale = jnp.where(vis, 1.0 / jnp.maximum(dist * dist, 1e-20),
                                      0.0)
-                wi = pr.normalize3([lc[0] - xs[0], lc[1] - xs[1], lc[2] - xs[2]])
+                wi = [-dl[0], -dl[1], -dl[2]]
                 fr = pr.eval_fr_nee_plight(at, n, d, wi)
                 cosw = pr.dot3(n, wi)
                 coef = [le_scale * fr[i] * cosw for i in range(3)]
                 ldp = [lrad[i] * coef[i] for i in range(3)]
                 if not grads:
-                    return ldp, None, None
+                    return ldp, None, None, dist
                 not_mic = ~at["is_mic"]
                 lam = [jnp.where(not_mic,
                                  lrad[i] * le_scale * cosw * (1.0 / math.pi),
                                  0.0) for i in range(3)]
-                return ldp, coef, lam
+                return ldp, coef, lam, dist
 
             def mis_v2(rng, at, xs, n, d):
                 """MISv2 + partials (see wavefront.mis_v2 for the algorithm;
@@ -225,18 +226,20 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                     ec = sc["c"][e]; er = float(sc["r"][e])
                     cxv = [jnp.float32(ec[i]) - xs[i] for i in range(3)]
                     normcx = pr.norm3(cxv)
-                    wc = pr.scale3(cxv, 1.0 / normcx)
-                    ratio = er / normcx
+                    inv_ncx = 1.0 / normcx
+                    wc = pr.scale3(cxv, inv_ncx)
+                    ratio = er * inv_ncx
                     cos_max = jnp.sqrt(jnp.maximum(1.0 - ratio * ratio, 1e-12))
                     wi = pr.cone_dir(wc, cos_max, rng(), rng())
                     hit, _, sid = pr.nearest_id_t(sc, xs, wi)
                     visible = hit & (sid == e)
                     fr = pr.eval_fr_nee(at, n, d, wi)
-                    fpdf = pr.cone_pdf(cos_max)
+                    fpdf_inv = pr.TWO_PI * jnp.maximum(1.0 - cos_max, 1e-12)
                     tr = jnp.exp(-sigma_t * normcx)
-                    w_vis = jnp.where(visible, tr * pr.dot3(n, wi) / fpdf, 0.0)
+                    w_vis = jnp.where(visible,
+                                      tr * pr.dot3(n, wi) * fpdf_inv, 0.0)
                     gpdf = pr.bsdf_pdf_for_dir(at, n, wo, wi, rng())
-                    wf = pr.power_h(fpdf, gpdf)
+                    wf = pr.power_h_invf(fpdf_inv, gpdf)
                     term = [rad[e][i] * fr[i] * w_vis * wf for i in range(3)]
                     for i in range(3):
                         acc[i] += term[i]
@@ -276,10 +279,12 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                     hc = pr.sel3(m, [jnp.float32(sc["c"][s][i]) + z
                                      for i in range(3)], hc)
                 cos_l = pr.dot3(n, wi_l)
-                gpdf_l = cos_l / math.pi
-                inv_gl = cos_l / jnp.where(gpdf_l != 0.0, gpdf_l, 1e-12)
-                coef_l = [(at["ar"], at["ag"], at["ab"])[i] * (1.0 / math.pi)
-                          * inv_gl for i in range(3)]
+                gpdf_l = cos_l * pr.INV_PI
+                # cos_l / gpdf_l == pi exactly when gpdf_l != 0, else the
+                # 1e-12 guard made it 0 — so coef_l is just the gated albedo
+                nz_l = gpdf_l != 0.0
+                coef_l = [jnp.where(nz_l, (at["ar"], at["ag"], at["ab"])[i],
+                                    0.0) for i in range(3)]
                 g_l = [le[i] * coef_l[i] for i in range(3)]
                 cos_d = jnp.abs(pr.dot3(n, wi_d))
                 scale_d = jnp.where(refl, 1.0,
@@ -290,8 +295,8 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 fr_m = pr.fr_microfacet(at, wi_m_loc, wh_loc, wo_loc)
                 gpdf_m = pr.ndf_beckmann(wh_loc[2], at["alpha"]) * wh_loc[2] / (
                     4.0 * jnp.maximum(jnp.abs(pr.dot3(wo_loc, wh_loc)), 1e-12))
-                coef_m = [fr_m[i] * wi_m_loc[2] / jnp.maximum(gpdf_m, 1e-20)
-                          for i in range(3)]
+                winv_m = wi_m_loc[2] / jnp.maximum(gpdf_m, 1e-20)
+                coef_m = [fr_m[i] * winv_m for i in range(3)]
                 g_m = [le[i] * coef_m[i] for i in range(3)]
                 g = pr.sel3(at["is_mic"], g_m, pr.sel3(at["is_die"], g_d, g_l))
                 gpdf = jnp.where(at["is_mic"], gpdf_m,
@@ -301,8 +306,9 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 hcx = [hc[i] - xs[i] for i in range(3)]
                 n2 = jnp.maximum(pr.dot3(hcx, hcx), 1e-20)
                 cmax = jnp.sqrt(jnp.maximum(1.0 - hit_r * hit_r / n2, 1e-12))
-                fpdf_h = pr.cone_pdf(cmax)
-                wg = jnp.where(gate & hit, pr.power_h(gpdf, fpdf_h), 0.0)
+                fpdf_h_inv = pr.TWO_PI * jnp.maximum(1.0 - cmax, 1e-12)
+                wg = jnp.where(gate & hit, pr.power_h_invg(gpdf, fpdf_h_inv),
+                               0.0)
                 for i in range(3):
                     acc[i] += g[i] * wg
                 if not grads:
@@ -311,24 +317,23 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                                pr.sel3(at["is_die"], [scale_d] * 3, coef_l))[i]
                        * wg for i in range(3)]
                 for i in range(3):
-                    dalb[i] += jnp.where(is_lam,
-                                         le[i] * (1.0 / math.pi) * inv_gl * wg,
-                                         0.0)
+                    dalb[i] += jnp.where(is_lam & nz_l, le[i] * wg, 0.0)
                 return acc, {"dsig": dsig, "drad": drad, "dalb": dalb,
                              "dle": dle, "sid2": sid2}
 
             def medium_nee(rng, xt, lc, lrad, lr, lid):
                 wc = [lc[i] - xt[i] for i in range(3)]
-                wc_mag = pr.norm3(wc)
-                wc_n = pr.scale3(wc, 1.0 / wc_mag)
-                ratio = lr / wc_mag
+                inv_mag = jax.lax.rsqrt(jnp.maximum(pr.dot3(wc, wc), 1e-20))
+                wc_n = pr.scale3(wc, inv_mag)
+                ratio = lr * inv_mag
                 cos_max = jnp.sqrt(jnp.maximum(1.0 - ratio * ratio, 1e-12))
                 wl = pr.cone_dir(wc_n, cos_max, rng(), rng())
                 hit, t, sid = pr.nearest_id_t(sc, xt, wl)
                 visible = hit & (sid == lid) & (lr > 0.0)
+                # INV_4PI / cone_pdf = INV_4PI * 2pi * (1 - cos_max): no div
                 w = jnp.where(visible,
-                              jnp.exp(-sigma_t * t) * INV_4PI
-                              / pr.cone_pdf(cos_max), 0.0)
+                              jnp.exp(-sigma_t * t) * (INV_4PI * pr.TWO_PI)
+                              * jnp.maximum(1.0 - cos_max, 1e-12), 0.0)
                 return [lrad[i] * w for i in range(3)], w, t
 
             # ------------- the persistent loop ---------------------------
@@ -358,6 +363,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                                      xs[2] - at["cz"]])
                 lc, lrad, lr, lid = light_attrs(rng())
                 inv_ps = float(n_em)   # 1/prob_source
+                inv_cp = 1.0 / cp  # python const: fold the cp divisions
 
                 u_dist = rng()
                 if distance == "free":
@@ -423,16 +429,14 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 shade = alive & surface & ~em_hit
 
                 if nee:
-                    lxs = [xs[i] - lc[i] for i in range(3)]
-                    dist_ls = pr.norm3(lxs)
+                    ldp, ldp_coef, ldp_lam, dist_ls = plight_term(
+                        at, xs, nrm, d, lc, lrad)
                     trs = jnp.exp(-sigma_t * dist_ls)
-                    ldp, ldp_coef, ldp_lam = plight_term(at, xs, nrm, d, lc,
-                                                         lrad)
                     ldm, misp = mis_v2(rng, at, xs, nrm, d)
                     for i in range(3):
                         add = jnp.where(
                             shade,
-                            (ldp[i] * trs * inv_ps + ldm[i]) * tp[i] / cp, 0.0)
+                            (ldp[i] * trs * inv_ps + ldm[i]) * tp[i] * inv_cp, 0.0)
                         L[i] = L[i] + add
                         Lps[i] = Lps[i] + add
                     if grads:
@@ -440,7 +444,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                         gs = z
                         for i in range(3):
                             gs += wt[i] * (ldp[i] * trs * (-dist_ls) * inv_ps
-                                           + misp["dsig"][i]) * tp[i] / cp
+                                           + misp["dsig"][i]) * tp[i] * inv_cp
                         acc["g_st"] += jnp.where(shade, gs, 0.0)
                         # radiance: pLight (picked light) + MIS light strat
                         for e in emitters:
@@ -448,15 +452,15 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                             for i in range(3):
                                 g = jnp.where(
                                     m, wt[i] * ldp_coef[i] * trs * inv_ps
-                                    * tp[i] / cp, 0.0)
+                                    * tp[i] * inv_cp, 0.0)
                                 if e in misp["drad"]:
                                     g += jnp.where(
                                         shade,
-                                        wt[i] * misp["drad"][e][i] * tp[i] / cp,
+                                        wt[i] * misp["drad"][e][i] * tp[i] * inv_cp,
                                         0.0)
                                 g += jnp.where(
                                     shade & (misp["sid2"] == e),
-                                    wt[i] * misp["dle"][i] * tp[i] / cp, 0.0)
+                                    wt[i] * misp["dle"][i] * tp[i] * inv_cp, 0.0)
                                 acc[f"g_rad_{e}_{i}"] += g
                         # albedo of the shaded sphere
                         for s in alb_ids:
@@ -464,12 +468,12 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                             for i in range(3):
                                 acc[f"g_alb_{s}_{i}"] += jnp.where(
                                     m, wt[i] * (ldp_lam[i] * trs * inv_ps
-                                                + misp["dalb"][i]) * tp[i] / cp,
+                                                + misp["dalb"][i]) * tp[i] * inv_cp,
                                     0.0)
 
                 fs, wi_s, pdf_b = pr.sample_bsdf(rng, at, d, nrm)
                 cosine = pr.dot3(nrm, wi_s)
-                wscale = cosine / (cp * jnp.maximum(pdf_b, 1e-20))
+                wscale = cosine * inv_cp / jnp.maximum(pdf_b, 1e-20)
                 tp_surface = [tp[i] * fs[i] * wscale for i in range(3)]
 
                 u_p1, u_p2 = rng(), rng()
@@ -482,7 +486,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 else:
                     # explicit T and 1/pSuccess (vptShadeMethods.h:1139-1146)
                     t_det2 = jnp.where(hit, t, 0.0)
-                    med_scale = ss * t_xt / (cp * pdf_success)
+                    med_scale = ss * t_xt * inv_cp / pdf_success
                     med_dsig = -jnp.abs(d_along) \
                         - t_det2 * tr_act / one_m_tr
                 if nee:

@@ -117,19 +117,23 @@ class D:
     __rmul__ = __mul__
 
     def __truediv__(self, o):
+        # one reciprocal serves the value and every tangent plane (div is
+        # ~3.6x an fma on the VPU; the naive form pays 2+K divs)
         ov, ot = val(o), tan(o)
-        v = self.v / ov
-        t = _scalet(self.t, 1.0 / ov)
+        inv = 1.0 / ov
+        v = self.v * inv
+        t = _scalet(self.t, inv)
         if ot is not None:
-            t = _addt(t, _scalet(ot, -v / ov))
+            t = _addt(t, _scalet(ot, -v * inv))
         return D(v, t)
 
     def __rtruediv__(self, o):
         ov, ot = val(o), tan(o)
-        v = ov / self.v
-        t = _scalet(self.t, -v / self.v)
+        inv = 1.0 / self.v
+        v = ov * inv
+        t = _scalet(self.t, -v * inv)
         if ot is not None:
-            t = _addt(t, _scalet(ot, 1.0 / self.v))
+            t = _addt(t, _scalet(ot, inv))
         return D(v, t)
 
     def __neg__(self):
@@ -331,24 +335,26 @@ def beckmann_wh(alpha, u1, u2):
 
 
 def ndf_beckmann(cosine, alpha):
+    # shared reciprocals, mirroring prims.ndf_beckmann (2 divs, not 3)
     c2 = cosine * cosine
-    safe_c2 = maximum(c2, 1e-4)
-    a2 = jnp.maximum(alpha * alpha, 1e-8)
-    tan2 = maximum(1.0 - c2, 0.0) / safe_c2
-    v = exp(-tan2 / a2) / (math.pi * a2 * safe_c2 * safe_c2)
+    inv_c2 = 1.0 / maximum(c2, 1e-4)
+    inv_a2 = 1.0 / jnp.maximum(alpha * alpha, 1e-8)
+    tan2 = maximum(1.0 - c2, 0.0) * inv_c2
+    v = exp(-tan2 * inv_a2) * (inv_a2 * (1.0 / math.pi)) * (inv_c2 * inv_c2)
     return where(val(cosine) >= 0.0, v, jnp.zeros_like(val(cosine)))
 
 
 def g1(n, wv, wh, alpha):
     cos = dot3(n, wv)
     sin = sqrt(maximum(1.0 - cos * cos, 1e-12))
-    tanv = sin / where(cos != 0.0, cos, 1e-12 + jnp.zeros_like(val(cos)))
-    a = 1.0 / (jnp.maximum(alpha, 1e-6)
-               * where(tanv != 0.0, tanv, 1e-12 + jnp.zeros_like(val(cos))))
+    # a = cos/(alpha*sin), one dual div — mirrors prims.g1
+    cos_g = where(cos != 0.0, cos, 1e-12 + jnp.zeros_like(val(cos)))
+    a = cos_g / (jnp.maximum(alpha, 1e-6)
+                 * where(sin != 0.0, sin, 1e-12 * cos_g))
     rational = (3.535 * a + 2.181 * a * a) / (1.0 + 2.276 * a + 2.577 * a * a)
     g = where(val(a) < 1.6, rational, jnp.ones_like(val(cos)))
-    same = val(dot3(wv, wh) / where(cos != 0.0, cos,
-                                    1e-12 + jnp.zeros_like(val(cos)))) > 0.0
+    # dot/cos > 0 <=> dot*cos > 0 (primal-valued gate, as before)
+    same = val(dot3(wv, wh) * cos_g) > 0.0
     return where(same, g, jnp.zeros_like(val(cos)))
 
 
@@ -361,12 +367,15 @@ def fresnel_cond(cos_wh, eta, kappa):
         e2k2 = e * e - k * k - sin2
         a2b2 = sqrt(maximum(e2k2 * e2k2 + 4.0 * e * e * k * k, 1e-12))
         a = sqrt(maximum(0.5 * (a2b2 + e * e - k * k - sin2), 1e-12))
-        perp = (a2b2 + cos * cos - 2.0 * a * cos) / (
-            a2b2 + cos * cos + 2.0 * a * cos)
+        # one dual div per channel: 0.5*(par+perp) = 0.5*Pn*(Qn+Qd)/(Pd*Qd)
+        # (mirrors prims.fresnel_cond)
+        c2 = cos * cos
+        pn = a2b2 + c2 - 2.0 * a * cos
+        pd = a2b2 + c2 + 2.0 * a * cos
         sin4 = sin2 * sin2
-        par = perp * (a2b2 * cos * cos + sin4 - 2.0 * a * cos * sin2) / (
-            a2b2 * cos * cos + sin4 + 2.0 * a * cos * sin2)
-        out.append(0.5 * (par + perp))
+        qn = a2b2 * c2 + sin4 - 2.0 * a * cos * sin2
+        qd = a2b2 * c2 + sin4 + 2.0 * a * cos * sin2
+        out.append(0.5 * pn * (qn + qd) / (pd * qd))
     return out
 
 
@@ -420,8 +429,9 @@ def sample_bsdf(rng, at, d, n):
     # lambert
     wi_l = cosine_hemi(n, u1, u2)
     cos_l = dot3(n, wi_l)
-    pdf_l = cos_l / math.pi
-    fs_l = [at["ar"] / math.pi, at["ag"] / math.pi, at["ab"] / math.pi]
+    pdf_l = cos_l * (1.0 / math.pi)
+    fs_l = [at["ar"] * (1.0 / math.pi), at["ag"] * (1.0 / math.pi),
+            at["ab"] * (1.0 / math.pi)]
     # dielectric
     wt, _ = refract_quirk(wo, n)
     fres = fresnel_die(dot3(n, wt), dot3(n, wo))
@@ -453,7 +463,8 @@ def eval_fr_nee(at, n, wray, wi):
     wo_l = to_local(n, [-wray[0], -wray[1], -wray[2]])
     wh = normalize3(add3(wi_l, wo_l))
     fr_m = fr_microfacet(at, wi_l, wh, wo_l)
-    fr_lam = [at["ar"] / math.pi, at["ag"] / math.pi, at["ab"] / math.pi]
+    fr_lam = [at["ar"] * (1.0 / math.pi), at["ag"] * (1.0 / math.pi),
+              at["ab"] * (1.0 / math.pi)]
     zero = jnp.zeros_like(val(fr_lam[0]) + val(wi[0]) * 0.0)
     return [where(at["is_mic"], fr_m[i],
                   where(at["is_die"], zero, fr_lam[i])) for i in range(3)]
@@ -464,12 +475,13 @@ def eval_fr_nee_plight(at, n, wray, wi):
     wo_l = to_local(n, [-wray[0], -wray[1], -wray[2]])
     wh = normalize3(add3(wi_l, wo_l))
     fr_m = fr_microfacet(at, wi_l, wh, wo_l)
-    fr_lam = [at["ar"] / math.pi, at["ag"] / math.pi, at["ab"] / math.pi]
+    fr_lam = [at["ar"] * (1.0 / math.pi), at["ag"] * (1.0 / math.pi),
+              at["ab"] * (1.0 / math.pi)]
     return sel3(at["is_mic"], fr_m, fr_lam)
 
 
 def bsdf_pdf_for_dir(at, n, wo, wi, u_flip):
-    pdf_l = dot3(n, wi) / math.pi
+    pdf_l = dot3(n, wi) * (1.0 / math.pi)
     wt, _ = refract_quirk(wo, n)
     fres = fresnel_die(dot3(n, wt), dot3(n, wo))
     pdf_d = where(u_flip > val(fres), 1.0 - fres, fres)
@@ -487,6 +499,21 @@ def power_h(f, g):
     z = jnp.zeros_like(val(fc))
     ratio = gc / where(pos, fc, one)
     return where(pos, 1.0 / (1.0 + ratio * ratio), z)
+
+
+def power_h_invf(f_inv, g):
+    """power_h(1/f_inv, g) = 1/(1 + (g*f_inv)^2); f_inv > 0 (see
+    prims.power_h_invf) — one dual div instead of three."""
+    r = clip(g, 0.0, 1e12) * f_inv
+    return 1.0 / (1.0 + r * r)
+
+
+def power_h_invg(f, g_inv):
+    """power_h(f, 1/g_inv) = (f*g_inv)^2/((f*g_inv)^2 + 1); g > 0."""
+    r = clip(f, 0.0, 1e12) * g_inv
+    r2 = r * r
+    z = jnp.zeros_like(val(r))
+    return where(val(f) > 0.0, r2 / (r2 + 1.0), z)
 
 
 # ---------------------------------------------------------------------------
@@ -615,7 +642,7 @@ def visibility_from(sc, ctr_tab, light, x):
     d = scale3(lx, 1.0 / dist)
     hit, t, _ = nearest_id_t(sc, ctr_tab, light, d)
     vis = (val(t) > val(dist) * (1.0 - 1024.0 * F32EPS)) | ~hit
-    return vis, dist
+    return vis, dist, d
 
 
 def cross3(a, b):

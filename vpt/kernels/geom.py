@@ -54,7 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..scene.scene import Scene
 from . import dual as du
-from .prims import BIG, INV_4PI, Pcg, pcg_seed
+from .prims import BIG, INV_4PI, TWO_PI, Pcg, pcg_seed
 from .wavefront import _scene_consts
 
 __all__ = ["make_geom_renderer", "pack_theta"]
@@ -200,13 +200,16 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
             return lc, lrad, lr, lid
 
         def plight_term(at, xs, n, d, lc, lrad):
-            vis, dist = du.visibility_from(sc, ctr_tab, lc, xs)
+            """Returns (term, dist) — callers reuse the xs->light distance
+            (the light->x unit direction is reused as wi = -dl)."""
+            vis, dist, dl = du.visibility_from(sc, ctr_tab, lc, xs)
             le_scale = du.where(vis,
                                 1.0 / du.maximum(dist * dist, 1e-20), z)
-            wi = du.normalize3([lc[0] - xs[0], lc[1] - xs[1], lc[2] - xs[2]])
+            wi = [-dl[0], -dl[1], -dl[2]]
             fr = du.eval_fr_nee_plight(at, n, d, wi)
             cosw = du.dot3(n, wi)
-            return [lrad[i] * (le_scale * fr[i] * cosw) for i in range(3)]
+            return [lrad[i] * (le_scale * fr[i] * cosw)
+                    for i in range(3)], dist
 
         def mis_v2(rng, at, xs, n, d):
             acc = [z, z, z]
@@ -216,18 +219,19 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
                 er = float(sc["r"][e])
                 cxv = [ec[i] - xs[i] for i in range(3)]
                 normcx = du.norm3(cxv)
-                wc = du.scale3(cxv, 1.0 / normcx)
-                ratio = er / normcx
+                inv_ncx = 1.0 / normcx
+                wc = du.scale3(cxv, inv_ncx)
+                ratio = er * inv_ncx
                 cos_max = du.sqrt(du.maximum(1.0 - ratio * ratio, 1e-12))
                 wi = du.cone_dir(wc, cos_max, rng(), rng())
                 hit, _, sid = du.nearest_id_t(sc, ctr_tab, xs, wi)
                 visible = hit & (sid == e)
                 fr = du.eval_fr_nee(at, n, d, wi)
-                fpdf = du.cone_pdf(cos_max)
+                fpdf_inv = TWO_PI * du.maximum(1.0 - cos_max, 1e-12)
                 tr = du.exp(normcx * (-sigma_t))
-                w_vis = du.where(visible, tr * du.dot3(n, wi) / fpdf, z)
+                w_vis = du.where(visible, tr * du.dot3(n, wi) * fpdf_inv, z)
                 gpdf = du.bsdf_pdf_for_dir(at, n, wo, wi, rng())
-                wf = du.power_h(fpdf, gpdf)
+                wf = du.power_h_invf(fpdf_inv, gpdf)
                 for i in range(3):
                     acc[i] = acc[i] + float(sc["rad"][e][i]) * (
                         fr[i] * w_vis * wf)
@@ -260,9 +264,11 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
                 hc = du.sel3(m, ctr_tab[s_], hc)
             cos_l = du.dot3(n, wi_l)
             gpdf_l = cos_l * (1.0 / math.pi)
-            inv_gl = cos_l / du.where(gpdf_l != 0.0, gpdf_l, 1e-12 + z)
-            g_l = [le[i] * (at[("ar", "ag", "ab")[i]] * (1.0 / math.pi)
-                            * inv_gl) for i in range(3)]
+            # cos_l/gpdf_l == pi (zero tangent) when gpdf_l != 0, else 0
+            # (the 1e-12 guard): the ratio collapses to a gate on le*albedo
+            nz_l = du.val(gpdf_l) != 0.0
+            g_l = [du.where(nz_l, le[i] * at[("ar", "ag", "ab")[i]], z)
+                   for i in range(3)]
             cos_d = du.absd(du.dot3(n, wi_d))
             scale_d = (1.0 / du.maximum(cos_d, 1e-12)) * jnp.where(
                 refl, 1.0, du.GLASS_ETA_T * du.GLASS_ETA_T)
@@ -271,8 +277,8 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
             fr_m = du.fr_microfacet(at, wi_m_loc, wh_loc, wo_loc)
             gpdf_m = du.ndf_beckmann(wh_loc[2], at["alpha"]) * wh_loc[2] / (
                 4.0 * du.maximum(du.absd(du.dot3(wo_loc, wh_loc)), 1e-12))
-            g_m = [le[i] * (fr_m[i] * wi_m_loc[2]
-                            / du.maximum(gpdf_m, 1e-20)) for i in range(3)]
+            winv_m = wi_m_loc[2] / du.maximum(gpdf_m, 1e-20)
+            g_m = [le[i] * (fr_m[i] * winv_m) for i in range(3)]
             g = du.sel3(at["is_mic"], g_m, du.sel3(at["is_die"], g_d, g_l))
             gpdf = du.where(at["is_mic"], gpdf_m,
                             du.where(at["is_die"], gpdf_d, gpdf_l))
@@ -283,22 +289,23 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
             hcx = [hc[i] - xs[i] for i in range(3)]
             n2 = du.maximum(du.dot3(hcx, hcx), 1e-20)
             cmax = du.sqrt(du.maximum(1.0 - hit_r * hit_r / n2, 1e-12))
-            fpdf_h = du.cone_pdf(cmax)
-            wg = du.where(gate & hit, du.power_h(gpdf, fpdf_h), z)
+            fpdf_h_inv = TWO_PI * du.maximum(1.0 - cmax, 1e-12)
+            wg = du.where(gate & hit, du.power_h_invg(gpdf, fpdf_h_inv), z)
             return [acc[i] + g[i] * wg for i in range(3)]
 
         def medium_nee(rng, xt, lc, lrad, lr, lid):
             wc = [lc[i] - xt[i] for i in range(3)]
-            wc_mag = du.norm3(wc)
-            wc_n = du.scale3(wc, 1.0 / wc_mag)
-            ratio = lr / wc_mag
+            inv_mag = du.rsqrt(du.maximum(du.dot3(wc, wc), 1e-20))
+            wc_n = du.scale3(wc, inv_mag)
+            ratio = lr * inv_mag
             cos_max = du.sqrt(du.maximum(1.0 - ratio * ratio, 1e-12))
             wl = du.cone_dir(wc_n, cos_max, rng(), rng())
             hit, t, sid = du.nearest_id_t(sc, ctr_tab, xt, wl)
             visible = hit & (sid == lid) & (lr > 0.0)
+            # INV_4PI / cone_pdf = INV_4PI * 2pi * (1 - cos_max): no dual div
             w = du.where(visible,
-                         du.exp(t * (-sigma_t)) * INV_4PI
-                         / du.cone_pdf(cos_max), z)
+                         du.exp(t * (-sigma_t)) * (INV_4PI * TWO_PI)
+                         * du.maximum(1.0 - cos_max, 1e-12), z)
             return [lrad[i] * w for i in range(3)]
 
         # ------------- the persistent loop -----------------------------
@@ -369,10 +376,8 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
             shade = alive & surface & ~em_hit
 
             if nee:
-                lxs = [xs[i] - lc[i] for i in range(3)]
-                dist_ls = du.norm3(lxs)
+                ldp, dist_ls = plight_term(at, xs, nrm, d, lc, lrad)
                 trs = du.exp(dist_ls * (-sigma_t))
-                ldp = plight_term(at, xs, nrm, d, lc, lrad)
                 ldm = mis_v2(rng, at, xs, nrm, d)
                 for i in range(3):
                     L[i] = L[i] + du.where(

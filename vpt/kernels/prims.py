@@ -29,6 +29,7 @@ BIG = 1e8
 EPS_T = 1e-4
 F32EPS = float(np.finfo(np.float32).eps)
 INV_4PI = 1.0 / (4.0 * math.pi)
+INV_PI = 1.0 / math.pi
 TWO_PI = 2.0 * math.pi
 GLASS_ETA_I, GLASS_ETA_T = 1.0, 1.5
 
@@ -226,33 +227,42 @@ def sphere_both_roots(sc, o, d, s):
 
 def visibility_from(sc, light, x):
     """Reference visibility: cast FROM the light TOWARD x
-    (pathTracingUtilities.h:39-53)."""
+    (pathTracingUtilities.h:39-53). Returns (visible, dist, unit light->x
+    direction) — callers reuse the direction (wi = -d) instead of paying a
+    second normalize."""
     lx = [x[0] - light[0], x[1] - light[1], x[2] - light[2]]
     dist = norm3(lx)
     d = scale3(lx, 1.0 / dist)
     hit, t, _ = nearest_id_t(sc, light, d)
-    return (t > dist * (1.0 - 1024.0 * F32EPS)) | ~hit, dist
+    return (t > dist * (1.0 - 1024.0 * F32EPS)) | ~hit, dist, d
 
 
 # --- Beckmann / Fresnel ----------------------------------------------------
 
 def ndf_beckmann(cosine, alpha):
+    # two reciprocals shared across the exponent and the prefactor (the
+    # naive form spends three divs; div is ~3.6x an fma on the VPU)
     c2 = cosine * cosine
-    safe_c2 = jnp.maximum(c2, 1e-4)
-    a2 = jnp.maximum(alpha * alpha, 1e-8)
-    tan2 = jnp.maximum(1.0 - c2, 0.0) / safe_c2
-    val = jnp.exp(-tan2 / a2) / (math.pi * a2 * safe_c2 * safe_c2)
+    inv_c2 = 1.0 / jnp.maximum(c2, 1e-4)
+    inv_a2 = 1.0 / jnp.maximum(alpha * alpha, 1e-8)
+    tan2 = jnp.maximum(1.0 - c2, 0.0) * inv_c2
+    val = jnp.exp(-tan2 * inv_a2) * (inv_a2 * INV_PI) * (inv_c2 * inv_c2)
     return jnp.where(cosine >= 0.0, val, 0.0)
 
 
 def g1(n, wv, wh, alpha):
     cos = dot3(n, wv)
     sin = jnp.sqrt(jnp.maximum(1.0 - cos * cos, 1e-12))
-    tan = sin / jnp.where(cos != 0.0, cos, 1e-12)
-    a = 1.0 / (jnp.maximum(alpha, 1e-6) * jnp.where(tan != 0.0, tan, 1e-12))
+    # a = 1/(alpha*tan) = cos/(alpha*sin), one div; the sin floor reproduces
+    # the old tan != 0 guard (sin >= 0, so sign still follows cos)
+    cos_g = jnp.where(cos != 0.0, cos, 1e-12)
+    a = cos_g / (jnp.maximum(alpha, 1e-6) *
+                 jnp.where(sin != 0.0, sin, 1e-12 * cos_g))
     rational = (3.535 * a + 2.181 * a * a) / (1.0 + 2.276 * a + 2.577 * a * a)
     g = jnp.where(a < 1.6, rational, 1.0)
-    same = (dot3(wv, wh) / jnp.where(cos != 0.0, cos, 1e-12)) > 0.0
+    # dot/cos > 0  <=>  dot*cos > 0 (the old guard put 1e-12 > 0 in cos's
+    # place when cos == 0, i.e. the test degenerated to dot > 0 — keep that)
+    same = dot3(wv, wh) * cos_g > 0.0
     return jnp.where(same, g, 0.0)
 
 
@@ -265,11 +275,15 @@ def fresnel_cond(cos_wh, eta, kappa):
         e2k2 = e * e - k * k - sin2
         a2b2 = jnp.sqrt(jnp.maximum(e2k2 * e2k2 + 4.0 * e * e * k * k, 1e-12))
         a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + e * e - k * k - sin2), 1e-12))
-        perp = (a2b2 + cos * cos - 2.0 * a * cos) / (a2b2 + cos * cos + 2.0 * a * cos)
+        # perp = Pn/Pd, par = perp*Qn/Qd; 0.5*(par+perp) = 0.5*Pn*(Qn+Qd)
+        # / (Pd*Qd) — one div per channel instead of two
+        c2 = cos * cos
+        pn = a2b2 + c2 - 2.0 * a * cos
+        pd = a2b2 + c2 + 2.0 * a * cos
         sin4 = sin2 * sin2
-        par = perp * (a2b2 * cos * cos + sin4 - 2.0 * a * cos * sin2) / (
-            a2b2 * cos * cos + sin4 + 2.0 * a * cos * sin2)
-        out.append(0.5 * (par + perp))
+        qn = a2b2 * c2 + sin4 - 2.0 * a * cos * sin2
+        qd = a2b2 * c2 + sin4 + 2.0 * a * cos * sin2
+        out.append(0.5 * pn * (qn + qd) / (pd * qd))
     return out
 
 
@@ -383,8 +397,8 @@ def sample_bsdf(rng, at, d, n):
     # lambert
     wi_l = cosine_hemi(n, u1, u2)
     cos_l = dot3(n, wi_l)
-    pdf_l = cos_l / math.pi
-    fs_l = [at["ar"] / math.pi, at["ag"] / math.pi, at["ab"] / math.pi]
+    pdf_l = cos_l * INV_PI
+    fs_l = [at["ar"] * INV_PI, at["ag"] * INV_PI, at["ab"] * INV_PI]
     # dielectric
     wt, _ = refract_quirk(wo, n)
     fres = fresnel_die(dot3(n, wt), dot3(n, wo))
@@ -418,7 +432,7 @@ def eval_fr_nee(at, n, wray, wi):
     wo_l = to_local(n, [-wray[0], -wray[1], -wray[2]])
     wh = normalize3(add3(wi_l, wo_l))
     fr_m = fr_microfacet(at, wi_l, wh, wo_l)
-    fr_lam = [at["ar"] / math.pi, at["ag"] / math.pi, at["ab"] / math.pi]
+    fr_lam = [at["ar"] * INV_PI, at["ag"] * INV_PI, at["ab"] * INV_PI]
     zero = jnp.zeros_like(fr_lam[0])
     out = []
     for i in range(3):
@@ -436,12 +450,12 @@ def eval_fr_nee_plight(at, n, wray, wi):
     wo_l = to_local(n, [-wray[0], -wray[1], -wray[2]])
     wh = normalize3(add3(wi_l, wo_l))
     fr_m = fr_microfacet(at, wi_l, wh, wo_l)
-    fr_lam = [at["ar"] / math.pi, at["ag"] / math.pi, at["ab"] / math.pi]
+    fr_lam = [at["ar"] * INV_PI, at["ag"] * INV_PI, at["ab"] * INV_PI]
     return sel3(at["is_mic"], fr_m, fr_lam)
 
 
 def bsdf_pdf_for_dir(at, n, wo, wi, u_flip):
-    pdf_l = dot3(n, wi) / math.pi
+    pdf_l = dot3(n, wi) * INV_PI
     wt, _ = refract_quirk(wo, n)
     fres = fresnel_die(dot3(n, wt), dot3(n, wo))
     pdf_d = jnp.where(u_flip > fres, 1.0 - fres, fres)
@@ -453,7 +467,27 @@ def bsdf_pdf_for_dir(at, n, wo, wi, u_flip):
 
 
 def power_h(f, g):
+    """f^2 / (f^2 + g^2), one division (div is ~3.6x an fma on the VPU,
+    tools/vpu_microbench.py). Clips keep f^2+g^2 inside f32 range; the 1e-37
+    floor only engages when BOTH pdfs underflow (weight 0 either way)."""
     fc = jnp.clip(f, 0.0, 1e12)
     gc = jnp.clip(g, 0.0, 1e12)
-    ratio = gc / jnp.where(fc > 0.0, fc, 1.0)
-    return jnp.where(fc > 0.0, 1.0 / (1.0 + ratio * ratio), 0.0)
+    f2 = fc * fc
+    w = f2 / jnp.maximum(f2 + gc * gc, 1e-37)
+    return jnp.where(fc > 0.0, w, 0.0)
+
+
+def power_h_invf(f_inv, g):
+    """power_h(1/f_inv, g) without materializing f: = 1/(1 + (g*f_inv)^2).
+    Requires f_inv > 0 (f strictly positive), e.g. a cone pdf's reciprocal
+    2*pi*(1-cos_max)."""
+    r = jnp.clip(g, 0.0, 1e12) * f_inv
+    return 1.0 / (1.0 + r * r)
+
+
+def power_h_invg(f, g_inv):
+    """power_h(f, 1/g_inv) = (f*g_inv)^2 / ((f*g_inv)^2 + 1); g strictly
+    positive. One div, and it preserves power_h's f > 0 gate."""
+    r = jnp.clip(f, 0.0, 1e12) * g_inv
+    r2 = r * r
+    return jnp.where(f > 0.0, r2 / (r2 + 1.0), 0.0)

@@ -132,8 +132,8 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
         def camera_ray(rng):
             u = rng() if jitter else jnp.full((R, 128), 0.5, jnp.float32)
             v = rng() if jitter else jnp.full((R, 128), 0.5, jnp.float32)
-            sx = (px + u - 0.5) / width - 0.5
-            sy = (py + v - 0.5) / height - 0.5
+            sx = (px + u - 0.5) * (1.0 / width) - 0.5
+            sy = (py + v - 0.5) * (1.0 / height) - 0.5
             d = [cx[i] * sx + cy[i] * sy + cam_d[i] for i in range(3)]
             return pr.normalize3(d)
 
@@ -161,11 +161,12 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
             (vptShadeMethods.h:72); else black. Matches media/nee.plight."""
             lx = [xs[i] - lc[i] for i in range(3)]
             dist = pr.norm3(lx)
-            dl = pr.scale3(lx, 1.0 / dist)
+            inv_d = 1.0 / dist          # norm3 floors at 1e-10, so finite
+            dl = pr.scale3(lx, inv_d)
             hit, t, _ = pr.nearest_id_t(sc, lc, dl)
             slack = 1.0 - 1024.0 * F32EPS
             vis = (t > dist * slack) | ~hit
-            inv_d2 = 1.0 / jnp.maximum(dist * dist, 1e-20)
+            inv_d2 = inv_d * inv_d
             if sc["vol"]:
                 hit_v, t_v, _ = pr.nearest_id_t(sc, lc, dl, skip=sc["vol"])
                 vis_vpt = (t_v > dist * slack) | ~hit_v
@@ -186,10 +187,10 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
             else:
                 le_scale = jnp.where(vis, inv_d2, 0.0)
             le = [lrad[i] * le_scale for i in range(3)]
-            wi = pr.normalize3([lc[0] - xs[0], lc[1] - xs[1], lc[2] - xs[2]])
+            wi = [-dl[0], -dl[1], -dl[2]]   # unit light dir, already built
             fr = pr.eval_fr_nee_plight(at, n, d, wi)
             cosw = pr.dot3(n, wi)
-            return [le[i] * fr[i] * cosw for i in range(3)]
+            return [le[i] * fr[i] * cosw for i in range(3)], dist
 
         def mis_v2(rng, at, xs, n, d):
             """MISv2 (misSamplingFunctions.h:96-170) over the static
@@ -200,18 +201,22 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                 ec = sc["c"][e]; er = float(sc["r"][e]); erad = sc["rad"][e]
                 cxv = [jnp.float32(ec[i]) - xs[i] for i in range(3)]
                 normcx = pr.norm3(cxv)
-                wc = pr.scale3(cxv, 1.0 / normcx)
-                ratio = er / normcx
+                inv_ncx = 1.0 / normcx
+                wc = pr.scale3(cxv, inv_ncx)
+                ratio = er * inv_ncx
                 cos_max = jnp.sqrt(jnp.maximum(1.0 - ratio * ratio, 1e-12))
                 wi = pr.cone_dir(wc, cos_max, rng(), rng())
                 hit, _, sid = pr.nearest_id_t(sc, xs, wi)
                 visible = hit & (sid == e)
                 fr = pr.eval_fr_nee(at, n, d, wi)
-                fpdf = pr.cone_pdf(cos_max)
+                # 1/fpdf of the cone pdf, division-free; power_h_invf takes
+                # the reciprocal directly
+                fpdf_inv = pr.TWO_PI * jnp.maximum(1.0 - cos_max, 1e-12)
                 tr = jnp.exp(-sigma_t * normcx)
-                w_vis = jnp.where(visible, tr * pr.dot3(n, wi) / fpdf, 0.0)
+                w_vis = jnp.where(visible, tr * pr.dot3(n, wi) * fpdf_inv,
+                                  0.0)
                 gpdf = pr.bsdf_pdf_for_dir(at, n, wo, wi, rng())
-                wf = pr.power_h(fpdf, gpdf)
+                wf = pr.power_h_invf(fpdf_inv, gpdf)
                 for i in range(3):
                     acc[i] += jnp.float32(erad[i]) * fr[i] * w_vis * wf
             # BSDF strategy: sample all lobes, ONE trace (mis.py rationale)
@@ -241,9 +246,12 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                 hit_r = jnp.where(m, jnp.float32(sc["r"][s]), hit_r)
                 hc = pr.sel3(m, [jnp.float32(sc["c"][s][i]) + z for i in range(3)], hc)
             cos_l = pr.dot3(n, wi_l)
-            gpdf_l = cos_l / math.pi
-            g_l = [le[i] * (at["ar"], at["ag"], at["ab"])[i] / math.pi
-                   * cos_l / jnp.where(gpdf_l != 0.0, gpdf_l, 1e-12) for i in range(3)]
+            gpdf_l = cos_l * pr.INV_PI
+            # (le*a/pi*cos_l) / gpdf_l with gpdf_l = cos_l/pi is exactly
+            # le*a (x/x == 1 in IEEE), and 0 when cos_l == 0 (0/1e-12 guard)
+            g_l = [jnp.where(gpdf_l != 0.0,
+                             le[i] * (at["ar"], at["ag"], at["ab"])[i], 0.0)
+                   for i in range(3)]
             cos_d = jnp.abs(pr.dot3(n, wi_d))
             scale_d = jnp.where(refl, 1.0, pr.GLASS_ETA_T * pr.GLASS_ETA_T) / jnp.maximum(cos_d, 1e-12)
             g_d = [le[i] * scale_d for i in range(3)]
@@ -251,8 +259,8 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
             fr_m = pr.fr_microfacet(at, wi_m_loc, wh_loc, wo_loc)
             gpdf_m = pr.ndf_beckmann(wh_loc[2], at["alpha"]) * wh_loc[2] / (
                 4.0 * jnp.maximum(jnp.abs(pr.dot3(wo_loc, wh_loc)), 1e-12))
-            g_m = [le[i] * fr_m[i] * wi_m_loc[2] / jnp.maximum(gpdf_m, 1e-20)
-                   for i in range(3)]
+            winv_m = wi_m_loc[2] / jnp.maximum(gpdf_m, 1e-20)
+            g_m = [le[i] * fr_m[i] * winv_m for i in range(3)]
             g = pr.sel3(at["is_mic"], g_m, pr.sel3(at["is_die"], g_d, g_l))
             gpdf = jnp.where(at["is_mic"], gpdf_m,
                              jnp.where(at["is_die"], gpdf_d, gpdf_l))
@@ -264,8 +272,8 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
             hcx = [hc[i] - xs[i] for i in range(3)]
             n2 = jnp.maximum(pr.dot3(hcx, hcx), 1e-20)
             cmax = jnp.sqrt(jnp.maximum(1.0 - hit_r * hit_r / n2, 1e-12))
-            fpdf_h = pr.cone_pdf(cmax)
-            wg = jnp.where(gate & hit, pr.power_h(gpdf, fpdf_h), 0.0)
+            fpdf_h_inv = pr.TWO_PI * jnp.maximum(1.0 - cmax, 1e-12)
+            wg = jnp.where(gate & hit, pr.power_h_invg(gpdf, fpdf_h_inv), 0.0)
             for i in range(3):
                 acc[i] += g[i] * wg
             return acc
@@ -275,15 +283,18 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
             with the missing-else point kill => point sources contribute 0
             (media/nee.py); sphere sources: cone sample + id match."""
             wc = [lc[i] - xt[i] for i in range(3)]
-            wc_mag = pr.norm3(wc)
-            wc_n = pr.scale3(wc, 1.0 / wc_mag)
-            ratio = lr / wc_mag
+            inv_mag = jax.lax.rsqrt(jnp.maximum(pr.dot3(wc, wc), 1e-20))
+            wc_n = pr.scale3(wc, inv_mag)
+            ratio = lr * inv_mag
             cos_max = jnp.sqrt(jnp.maximum(1.0 - ratio * ratio, 1e-12))
             wl = pr.cone_dir(wc_n, cos_max, rng(), rng())
             hit, t, sid = pr.nearest_id_t(sc, xt, wl)
             visible = hit & (sid == lid) & (lr > 0.0)
+            # INV_4PI / cone_pdf = INV_4PI * 2pi * (1 - cos_max): no div
             w = jnp.where(visible,
-                          jnp.exp(-sigma_t * t) * INV_4PI / pr.cone_pdf(cos_max),
+                          jnp.exp(-sigma_t * t)
+                          * (INV_4PI * pr.TWO_PI)
+                          * jnp.maximum(1.0 - cos_max, 1e-12),
                           0.0)
             return [lrad[i] * w for i in range(3)]
 
@@ -296,11 +307,12 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
             xs = [o[i] + t_eff * d[i] for i in range(3)]
             nrm = pr.normalize3([xs[0] - at["cx"], xs[1] - at["cy"], xs[2] - at["cz"]])
             lc, lrad, lr, lid = light_attrs(rng())
-            prob_source = 1.0 / n_em
+            inv_cp = 1.0 / cp            # python consts: fold the divisions
+            n_em_f = float(n_em)         # 1/prob_source
 
             u_dist = rng()
             if distance == "free":
-                d_s = -jnp.log1p(-u_dist) / sigma_t
+                d_s = -jnp.log1p(-u_dist) * (1.0 / sigma_t)
                 surface = (d_s > t_eff) & hit
                 xt = [o[i] + d_s * d[i] for i in range(3)]
                 pdf_success = None          # PBRT cancellation (explicit)
@@ -357,17 +369,16 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
             shade = alive & surface & ~em_hit
 
             if nee:
-                lxs = [xs[i] - lc[i] for i in range(3)]
-                trs = jnp.exp(-sigma_t * pr.norm3(lxs))
-                ldp = plight_term(at, xs, nrm, d, lc, lrad)
+                ldp, dist_l = plight_term(at, xs, nrm, d, lc, lrad)
+                trs = jnp.exp(-sigma_t * dist_l)   # same xs-light distance
                 ldm = mis_v2(rng, at, xs, nrm, d)
                 for i in range(3):
-                    ld = ldp[i] * trs / prob_source + ldm[i]
-                    L[i] = L[i] + jnp.where(shade, ld * tp[i] / cp, 0.0)
+                    ld = ldp[i] * (trs * n_em_f) + ldm[i]
+                    L[i] = L[i] + jnp.where(shade, ld * tp[i] * inv_cp, 0.0)
 
             fs, wi_s, pdf_b = pr.sample_bsdf(rng, at, d, nrm)
             cosine = pr.dot3(nrm, wi_s)
-            wscale = cosine / (cp * jnp.maximum(pdf_b, 1e-20))
+            wscale = cosine * inv_cp / jnp.maximum(pdf_b, 1e-20)
             tp_surface = [tp[i] * fs[i] * wscale for i in range(3)]
 
             medium = alive & ~surface
@@ -379,26 +390,28 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                     # (the PBRT simplification, vptShadeMethods.h:1248) —
                     # only sigma_s/sigma_t survives
                     ld_med = medium_nee(rng, xt, lc, lrad, lr, lid)
+                    med_c = n_em_f * albedo_ratio * inv_cp  # python const
                     for i in range(3):
                         L[i] = L[i] + jnp.where(
-                            medium,
-                            ld_med[i] / prob_source * tp[i] * (albedo_ratio / cp),
-                            0.0)
-                    tp_medium = [tp[i] * (albedo_ratio / cp) for i in range(3)]
+                            medium, ld_med[i] * tp[i] * med_c, 0.0)
+                    tp_medium = [tp[i] * (albedo_ratio * inv_cp)
+                                 for i in range(3)]
                 else:
                     # implicit free: sigma_s*T/(cp*ffProb*(1-Tr)) =
                     # (sigma_s/sigma_t)/(cp*(1-Tr))
                     # (vptShadeMethods.h:977,1006; engine.py free implicit)
-                    w_med = albedo_ratio / (
-                        cp * jnp.maximum(1.0 - tr_actual, 1e-20))
+                    w_med = albedo_ratio * inv_cp / jnp.maximum(
+                        1.0 - tr_actual, 1e-20)
                     tp_medium = [tp[i] * w_med for i in range(3)]
             else:
                 # equi-angular: T and pdf appear explicitly
-                # (vptShadeMethods.h:1134-1146)
-                w_med = sc["sigma_s"] * t_xt / (cp * pdf_success)
+                # (vptShadeMethods.h:1134-1146); one reciprocal of the
+                # distance pdf serves both the throughput and the NEE scale
+                inv_pdf_s = 1.0 / pdf_success
+                w_med = (sc["sigma_s"] * inv_cp) * t_xt * inv_pdf_s
                 if nee:
                     ld_med = medium_nee(rng, xt, lc, lrad, lr, lid)
-                    scale = t_xt * sc["sigma_s"] / prob_source / (pdf_success * cp)
+                    scale = w_med * n_em_f
                     for i in range(3):
                         L[i] = L[i] + jnp.where(
                             medium, ld_med[i] * scale * tp[i], 0.0)
