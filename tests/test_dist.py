@@ -130,6 +130,49 @@ def test_train_step_stays_in_physical_domain():
     assert (np.asarray(params["radiance"]) >= 0).all()
 
 
+def test_checkpoint_resume_elastic_chunking(tmp_path):
+    """Elastic resume: a checkpoint written under one chunk_pixels layout
+    resumes under a different one (batches are keyed by (seed,
+    sample-index), independent of the compute sharding) — the domain
+    analogue of resuming on a different mesh. The resumed samples draw
+    different (equally valid) uniforms, so agreement is statistical, not
+    bitwise; the first `done` samples of the accumulator carry over
+    exactly. Also exercises the preview-dump observability hook
+    (SURVEY.md §5)."""
+    import dataclasses
+    from vpt.io.ppm import read_ppm, tonemap
+    from vpt.utils.checkpoint import load_state, render_progressive
+
+    W = H = 16
+    cfg = vpt.RenderConfig(width=W, height=H, spp=32, max_bounces=4,
+                           chunk_pixels=W * H)
+    full = render_progressive(SCENE, CAM, cfg, str(tmp_path / "a.npz"),
+                              log=None)
+
+    half = dataclasses.replace(cfg, spp=16, chunk_pixels=64)
+    p = str(tmp_path / "b.npz")
+    render_progressive(SCENE, CAM, half, p, log=None)
+    acc_half, done_half, _ = load_state(p)
+    assert done_half == 16
+    import shutil
+
+    p2 = str(tmp_path / "b_copy.npz")
+    shutil.copy(p, p2)
+    prev = str(tmp_path / "prev.ppm")
+    re_cfg = dataclasses.replace(cfg, chunk_pixels=128)
+    resumed = render_progressive(SCENE, CAM, re_cfg, p, log=None,
+                                 preview_path=prev, preview_every=8)
+    # a re-chunked resume is deterministic given the checkpoint + layout
+    resumed2 = render_progressive(SCENE, CAM, re_cfg, p2, log=None)
+    assert np.array_equal(np.asarray(resumed), np.asarray(resumed2))
+    assert int(load_state(p)[1]) == 32
+    # and agrees with the uninterrupted render statistically
+    f, r = np.asarray(full).mean(), np.asarray(resumed).mean()
+    assert abs(f - r) < 0.25 * max(f, r), (f, r)
+    # the last preview is the tonemapped final mean
+    assert np.array_equal(read_ppm(prev), tonemap(np.asarray(resumed)))
+
+
 def test_checkpoint_resume_bitstable(tmp_path):
     from vpt.utils.checkpoint import render_progressive
 

@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="progressive accumulation checkpoint path (resume if exists)")
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="save the accumulator every N spp (0 = only at end)")
+    p.add_argument("--preview", default=None,
+                   help="write a tonemapped preview image (.png or .ppm) of "
+                        "the running mean while a --checkpoint render runs")
+    p.add_argument("--preview-every", type=int, default=0,
+                   help="refresh the preview every N completed spp")
     return p
 
 
@@ -79,6 +84,7 @@ def main(argv=None) -> int:
         img = render_progressive(
             scene, camera, cfg, args.checkpoint,
             checkpoint_every=args.checkpoint_every,
+            preview_path=args.preview, preview_every=args.preview_every,
         )
     elif args.sharded:
         from vpt.dist import make_mesh, render_sharded

@@ -43,10 +43,26 @@ def load_state(path: str):
 
 
 def render_progressive(scene, camera, cfg, path: str,
-                       checkpoint_every: int = 0, log=print):
+                       checkpoint_every: int = 0, log=print,
+                       preview_path: str | None = None,
+                       preview_every: int = 0):
     """Render cfg.spp samples per pixel, accumulating one spp batch at a
     time, checkpointing to `path` and resuming from it if present.
-    Returns the averaged (H, W, 3) image."""
+    Returns the averaged (H, W, 3) image.
+
+    Resume is ELASTIC in the compute layout: batches are keyed by
+    (seed, sample_index), so a checkpoint written under one chunk_pixels
+    resumes under any other — the domain analogue of resuming a run on a
+    different mesh. Same-layout resume is BIT-stable
+    (tests/test_dist.py::test_checkpoint_resume_bitstable); a re-chunked
+    resume draws different (equally valid) uniforms for the remaining
+    samples because engine draws are positional within a chunk, so it is
+    statistically identical, not bit-identical
+    (tests/test_dist.py::test_checkpoint_resume_elastic_chunking).
+
+    preview_path/preview_every: every N completed spp, tonemap the running
+    mean and write it (PNG if the path ends .png, else P3 PPM) — the
+    "image preview dumps" observability item of SURVEY.md §5."""
     import jax
     import numpy as np
 
@@ -91,4 +107,20 @@ def render_progressive(scene, camera, cfg, path: str,
             save_state(path, acc, done, cfg.seed)
             if log and done < cfg.spp:
                 log(f"checkpoint {path}: {done}/{cfg.spp} spp")
+        if preview_path and preview_every and (
+            done % preview_every == 0 or done == cfg.spp
+        ):
+            _write_preview(preview_path, acc, done, cfg)
+            if log:
+                log(f"preview {preview_path}: {done}/{cfg.spp} spp")
     return (acc / max(done, 1)).reshape(cfg.height, cfg.width, 3)
+
+
+def _write_preview(path: str, acc: np.ndarray, done: int, cfg) -> None:
+    from ..io import ppm
+
+    img = (acc / max(done, 1)).reshape(cfg.height, cfg.width, 3)
+    if path.endswith(".png"):
+        ppm.write_png(path, img)
+    else:
+        ppm.write_ppm(path, img)
