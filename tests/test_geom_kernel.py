@@ -220,6 +220,54 @@ def test_geom_train_step_moves_light():
                        np.asarray(theta["cam_origin"]))
 
 
+@pytest.fixture(scope="module")
+def render_primal_only():
+    """K=0: theta traced from SMEM but every tangent plane dropped."""
+    return make_geom_renderer(SCENE, CAM, W, H, SPP, sphere=LIGHT,
+                              cam_grads=False, max_bounces=MB, tile_rows=8,
+                              primal_only=True, interpret=True)
+
+
+def test_primal_only_matches_dual_primal(render_primal_only, render_light):
+    """primal_only=True must render the SAME estimator as the dual kernel's
+    primal plane (identical PCG draws; only the dual arithmetic's division
+    reassociation — x*(1/y) vs x/y — may flip a rare discrete event)."""
+    img_p, tang_p = render_primal_only(THETA, SEED)
+    img_d, _ = render_light(THETA, SEED)
+    assert tang_p.shape == (0, W * H, 3)
+    rel = np.abs(np.asarray(img_p) - np.asarray(img_d))
+    rel /= max(1.0, float(np.abs(np.asarray(img_d)).max()))
+    assert np.quantile(rel, 0.99) < 1e-4, np.quantile(rel, 0.99)
+
+
+@pytest.mark.slow
+def test_fd_geom_train_step_moves_light_only():
+    """CRN central-difference step (boundary-aware): moves the enabled
+    center block, leaves the frozen camera block untouched, finite loss."""
+    import optax
+
+    from vpt.dist import make_fd_geom_train_step
+
+    target = np.asarray(
+        build_tile_renderer(SCENE, CAM, W, H, 8, max_bounces=MB,
+                            tile_rows=8, interpret=True)(17))
+    optimizer = optax.adam(0.5)
+    step = make_fd_geom_train_step(SCENE, CAM, W, H, 4, optimizer,
+                                   sphere=LIGHT, cam_grads=False,
+                                   max_bounces=MB, tile_rows=8,
+                                   interpret=True)
+    theta = dict(THETA)
+    theta["center"] = THETA["center"] + jnp.asarray([0.0, 8.0, 0.0])
+    opt_state = optimizer.init(theta)
+    theta2, opt_state, loss = step(theta, opt_state, jnp.asarray(target),
+                                   jnp.int32(5))
+    assert np.isfinite(float(loss))
+    assert not np.allclose(np.asarray(theta2["center"]),
+                           np.asarray(theta["center"]))
+    assert np.allclose(np.asarray(theta2["cam_origin"]),
+                       np.asarray(theta["cam_origin"]))
+
+
 @pytest.mark.slow
 def test_equiangular_family_finite():
     r = make_geom_renderer(SCENE, CAM, 8, 8, 2, sphere=LIGHT,

@@ -8,7 +8,8 @@ from .mesh import DATA_AXIS, SAMPLE_AXIS, make_mesh, mesh_shape_for
 from .sharded import render_sharded
 from .train import (apply_params, fit, make_train_step, project_params,
                     scene_params)
-from .train_fast import (fit_geom, fit_kernel, make_geom_train_step,
+from .train_fast import (fit_geom, fit_geom_fd, fit_kernel,
+                         make_fd_geom_train_step, make_geom_train_step,
                          make_kernel_train_step)
 
 __all__ = [
@@ -16,5 +17,5 @@ __all__ = [
     "render_sharded", "scene_params", "apply_params", "project_params",
     "make_train_step", "fit",
     "make_kernel_train_step", "fit_kernel", "make_geom_train_step",
-    "fit_geom",
+    "fit_geom", "make_fd_geom_train_step", "fit_geom_fd",
 ]

@@ -79,6 +79,7 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
                        distance: str = "free",
                        continue_prob: float = 0.6, max_bounces: int = 32,
                        tile_rows: int = 8, jitter: bool = True,
+                       primal_only: bool = False,
                        interpret: bool = False):
     """Build render(theta, seed) -> (img (npix,3), tang (K, npix, 3)).
 
@@ -91,8 +92,17 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
     render.grad_render(theta, seed) is a custom-VJP image function: under
     jax.grad it contracts the tangent planes with the image cotangent and
     returns theta-shaped gradients (usable directly in a training loop).
+
+    primal_only=True drops every tangent plane (K=0) but keeps theta
+    traced from SMEM: a theta-parameterized FORWARD kernel at fused-kernel
+    speed, re-render at any geometry without recompiling. This is the
+    substrate for common-random-number finite differences
+    (dist/train_fast.make_fd_geom_train_step), which capture the BOUNDARY
+    terms (silhouettes, shadow edges, the emitter's own disk) that the
+    detached dual estimator provably drops — see the module docstring's
+    known-limitation note.
     """
-    if sphere is None and not cam_grads:
+    if sphere is None and not cam_grads and not primal_only:
         raise ValueError("no differentiated block enabled")
     sc = _scene_consts(scene)
     S = len(sc["r"])
@@ -103,8 +113,8 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
     npix = width * height
     num_tiles = -(-npix // LANES)
 
-    n_center = 3 if sphere is not None else 0
-    n_cam = 4 if cam_grads else 0
+    n_center = 3 if sphere is not None and not primal_only else 0
+    n_cam = 4 if cam_grads and not primal_only else 0
     K = n_center + n_cam
     k_cam = n_center
 
@@ -130,8 +140,9 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
         co = [theta_ref[3 + i] for i in range(3)]
         fv = theta_ref[6]
         if sphere is not None:
-            ctr_dual = [du.D(pc[i], basis(i)) for i in range(3)]
-        if cam_grads:
+            ctr_dual = (pc if primal_only
+                        else [du.D(pc[i], basis(i)) for i in range(3)])
+        if cam_grads and not primal_only:
             cam_o = [du.D(co[i], basis(k_cam + i)) for i in range(3)]
             fov = du.D(fv, basis(k_cam + 3))
         else:
@@ -500,7 +511,10 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
 
     grad_render.defvjp(gr_fwd, gr_bwd)
 
-    render.grad_render = grad_render
+    if not primal_only:
+        render.grad_render = grad_render
+    render.run_vec = run          # vec-level entry (7 floats): FD substrate
+    render.flatten = _flatten
     render.K = K
     render.basis_names = (tuple(f"center.{a}" for a in "xyz")[:n_center]
                           + (("cam_origin.x", "cam_origin.y", "cam_origin.z",
