@@ -170,9 +170,10 @@ def make_fd_geom_train_step(scene: Scene, camera, width: int, height: int,
     variance — pick h at the scale of a pixel footprint; the default 0.5
     scene units ~ 1 pixel at the reference camera).
 
-    Cost: 2 kernel launches per enabled dimension per step (K<=7 -> <=14
-    forward passes, each at full fused-kernel speed). step(theta,
-    opt_state, target_flat, seed) -> (theta, opt_state, loss)."""
+    Cost: 4 kernel launches per enabled dimension per step (A/B pair at
+    each of theta+h/theta-h; K<=7 -> <=28 forward passes, each at full
+    fused-kernel speed at spp/2). step(theta, opt_state, target_flat,
+    seed) -> (theta, opt_state, loss)."""
     render = make_geom_renderer(
         scene, camera, width, height, max(spp // 2, 1), sphere=sphere,
         cam_grads=cam_grads, distance=distance, max_bounces=max_bounces,
@@ -189,8 +190,13 @@ def make_fd_geom_train_step(scene: Scene, camera, width: int, height: int,
         vec = flatten(theta)
 
         def loss_of(v, s):
-            img, _ = run(v, s)
-            return jnp.mean((img - target_flat) ** 2)
+            # A/B product loss (same unbiased-MSE estimator as the dual
+            # step): E[(Ia-T)(Ib-T)] = (E[I]-T)^2 — its theta-gradient has
+            # no Var(I_theta) term, so the FD secant doesn't chase noise
+            # shrinkage. CRN: both seeds are the SAME at v+e and v-e.
+            a, _ = run(v, s * 2)
+            b, _ = run(v, s * 2 + 1)
+            return jnp.mean((a - target_flat) * (b - target_flat))
 
         g = jnp.zeros(7, jnp.float32)
         loss = None

@@ -33,9 +33,19 @@ start offset to ~2.3 units of residual bias in ~40 adam steps (the smooth
 NEE chains dominate but shadow boundaries shift the fixed point); a bare
 emitter whose image is mostly
 its own disk cannot be localized at all (the disk motion is 100% boundary
-term). Exact geometric gradients would need edge/silhouette sampling
-(reparameterized boundary integrals) — out of the reference's scope, a
-candidate for a future round.
+term — fit_geom actively DIVERGES there, 8 -> 17.7 units).
+
+RESOLVED for training (round 2): dist/train_fast.make_fd_geom_train_step /
+fit_geom_fd recover the boundary terms with common-random-number central
+differences on this kernel's `primal_only=True` mode (theta traced from
+SMEM, zero tangent planes). Seed-matched smooth noise cancels to O(h);
+event flips between theta-h and theta+h ARE the boundary contribution.
+Measured on chip (BASELINE.md "Boundary terms" table): point-light
+residual 2.34 -> 0.196, area-light diverges -> 0.020, at ~2x the dual
+step's speed. The dual tangents remain the right tool for smooth-chain
+gradients (sigma/albedo-style, or jointly with kernels/diff.py); exact
+single-sample boundary gradients (edge/silhouette sampling) remain out of
+the reference's scope.
 
 Reference: the geometry being differentiated is the hardcoded scene of
 Sphere.cpp:7-23 and the camera of src/rt.cpp:755-759; the estimator is the
