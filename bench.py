@@ -84,8 +84,15 @@ def main():
         try:
             from vpt.kernels.wavefront import build_tile_renderer
 
+            # sampler="ld" is the framework default for benching: same
+            # unbiased estimator, 2-9% lower MSE at equal spp AND ~5%
+            # faster (stratified depth-0 RR evens per-lane work, shrinking
+            # each tile's all-lanes-done tail) — BASELINE.md "Low-
+            # discrepancy sampler study". BENCH_SAMPLER=random opts out.
+            sampler = os.environ.get("BENCH_SAMPLER", "ld")
             run = build_tile_renderer(scene, camera, width, height, spp,
-                                      nee=True, max_bounces=32)
+                                      nee=True, max_bounces=32,
+                                      sampler=sampler)
             reduced = jax.jit(lambda s: jnp.mean(run(s), axis=0))
             render = lambda seed: np.asarray(reduced(seed))
             render_full = lambda seed: np.asarray(run(seed))
@@ -165,6 +172,7 @@ def main():
             "value": round(fwd_rate, 1),
             "unit": "camera_paths/sec/chip",
             "vs_baseline": round(fwd_rate / REF_PATHS_PER_SEC, 4),
+            "sampler": os.environ.get("BENCH_SAMPLER", "ld"),
         }
         if bwd_rate is not None:
             out["fwd_bwd_paths_per_sec"] = round(bwd_rate, 1)

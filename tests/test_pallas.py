@@ -39,6 +39,30 @@ def test_pallas_deterministic_and_seed_sensitive():
     assert np.isfinite(a).all()
 
 
+def test_pallas_ld_sampler_deterministic_and_unbiased():
+    """sampler="ld" (CP-rotated R3 stratification of pixel jitter + the
+    depth-0 distance draw): still seed-deterministic/seed-sensitive, and
+    the Cranley-Patterson rotation keeps the estimator's expectation equal
+    to the PCG sampler's — means agree over a small seed ensemble."""
+    W, H, SPP = 16, 8, 16
+    run_r = build_tile_renderer(SCENE, CAM, W, H, SPP, nee=True,
+                                max_bounces=6, interpret=True)
+    run_l = build_tile_renderer(SCENE, CAM, W, H, SPP, nee=True,
+                                max_bounces=6, sampler="ld", interpret=True)
+    a = np.asarray(run_l(3))
+    assert np.array_equal(a, np.asarray(run_l(3)))
+    assert not np.array_equal(a, np.asarray(run_l(4)))
+    assert np.isfinite(a).all() and (a >= 0).all()
+    # clamped means (identical estimator both modes — clipping commutes
+    # with the expectation equality) tame the RR-boosted radiance tail;
+    # tolerance from the random sampler's own seed spread
+    lm = [float(np.clip(np.asarray(run_l(s)), 0, 1).mean()) for s in range(8)]
+    rm = [float(np.clip(np.asarray(run_r(s)), 0, 1).mean()) for s in range(8)]
+    ml, mr = np.mean(lm), np.mean(rm)
+    se = np.hypot(np.std(lm), np.std(rm)) / np.sqrt(8)
+    assert abs(ml - mr) < 4.0 * se + 0.03 * mr, (ml, mr, se)
+
+
 @pytest.mark.slow
 def test_pallas_equiangular_matches_engine_statistically():
     W, H, SPP = 32, 16, 96

@@ -31,6 +31,11 @@ class RenderConfig:
     chunk_pixels: int = 65536
     dtype: str = "float32"       # "float64" for CPU oracle-parity runs
     jitter: bool = True
+    # "random": pure PCG (reference semantics — erand48 everywhere);
+    # "ld": low-discrepancy first-3-dimension stratification (pixel jitter
+    # + depth-0 distance) via a Cranley-Patterson-rotated R3 Kronecker
+    # sequence. Unbiased; renderer="pallas" only (others ignore it).
+    sampler: str = "random"
     # "pallas": the fused TPU kernel (fastest; free-flight/equi-angular
     # families, forward-only); "persistent": path-regeneration wavefront
     # (fast, volume integrators); "scan": per-sample masked wavefront (all

@@ -47,7 +47,8 @@ def build_sharded_pallas(scene: Scene, camera, cfg, mesh: Mesh,
     run = wf.build_tile_renderer(
         scene, camera, cfg.width, cfg.height, spp_local,
         nee=nee, distance=distance, continue_prob=cfg.continue_prob,
-        max_bounces=cfg.max_bounces, jitter=cfg.jitter, interpret=interpret,
+        max_bounces=cfg.max_bounces, jitter=cfg.jitter,
+        sampler=getattr(cfg, "sampler", "random"), interpret=interpret,
     )
     lanes = run.lanes_per_tile
     tiles_per_shard = -(-npix // (lanes * n_data))
