@@ -269,6 +269,42 @@ def test_fd_geom_train_step_moves_light_only():
 
 
 @pytest.mark.slow
+def test_fd_sigma_step_joint_kernel():
+    """sigma=True FD step on the theta-traced kernel: the sigma block gets
+    a nonzero CRN-FD gradient (Adam moves it), the frozen geometric blocks
+    stay untouched, and the projection keeps the medium physical. (The
+    descent DIRECTION is asserted by the on-chip study in BASELINE.md —
+    one FD step at 12x8 @ 2spp is deterministic but sign-noisy.)"""
+    import optax
+
+    from vpt.dist import make_fd_geom_train_step
+
+    target, _ = make_geom_renderer(
+        SCENE, CAM, W, H, 4, sphere=LIGHT, cam_grads=False, max_bounces=MB,
+        tile_rows=8, primal_only=True, interpret=True,
+    )(THETA, jnp.int32(3))
+    optimizer = optax.adam(1e-3)
+    step = make_fd_geom_train_step(SCENE, CAM, W, H, 4, optimizer,
+                                   sphere=None, cam_grads=False, sigma=True,
+                                   max_bounces=MB, tile_rows=8,
+                                   interpret=True)
+    theta = dict(pack_theta(SCENE, CAM, None))
+    theta["sigma_s"] = theta["sigma_s"] * 2.5
+    opt_state = optimizer.init(theta)
+    theta2, _, loss = step(theta, opt_state, jnp.asarray(np.asarray(target)),
+                           jnp.int32(5))
+    assert np.isfinite(float(loss))
+    assert float(theta2["sigma_s"]) != float(theta["sigma_s"])
+    assert float(theta2["sigma_a"]) != float(theta["sigma_a"])
+    assert float(theta2["sigma_s"]) >= 1e-6
+    assert float(theta2["sigma_a"]) >= 1e-6
+    assert np.allclose(np.asarray(theta2["center"]),
+                       np.asarray(theta["center"]))
+    assert np.allclose(np.asarray(theta2["cam_origin"]),
+                       np.asarray(theta["cam_origin"]))
+
+
+@pytest.mark.slow
 def test_equiangular_family_finite():
     r = make_geom_renderer(SCENE, CAM, 8, 8, 2, sphere=LIGHT,
                            cam_grads=False, distance="equiangular",

@@ -152,8 +152,9 @@ def make_geom_train_step(scene: Scene, camera, width: int, height: int,
 
 def make_fd_geom_train_step(scene: Scene, camera, width: int, height: int,
                             spp: int, optimizer, *, sphere: int | None,
-                            cam_grads: bool = True, h: float = 0.5,
-                            h_fov: float = 2e-3, distance: str = "free",
+                            cam_grads: bool = True, sigma: bool = False,
+                            h: float = 0.5, h_fov: float = 2e-3,
+                            h_sigma: float = 5e-4, distance: str = "free",
                             max_bounces: int = 32, tile_rows: int = 8,
                             interpret: bool = False):
     """Geometric training via common-random-number CENTRAL DIFFERENCES on
@@ -180,10 +181,11 @@ def make_fd_geom_train_step(scene: Scene, camera, width: int, height: int,
         tile_rows=tile_rows, primal_only=True, interpret=interpret)
     run, flatten = render.run_vec, render.flatten
     dims = (([0, 1, 2] if sphere is not None else [])
-            + ([3, 4, 5, 6] if cam_grads else []))
+            + ([3, 4, 5, 6] if cam_grads else [])
+            + ([7, 8] if sigma else []))
     if not dims:
         raise ValueError("no differentiated block enabled")
-    hs = [h, h, h, h, h, h, h_fov]
+    hs = [h, h, h, h, h, h, h_fov, h_sigma, h_sigma]
 
     @jax.jit
     def step(theta, opt_state, target_flat, seed):
@@ -198,31 +200,44 @@ def make_fd_geom_train_step(scene: Scene, camera, width: int, height: int,
             b, _ = run(v, s * 2 + 1)
             return jnp.mean((a - target_flat) * (b - target_flat))
 
-        g = jnp.zeros(7, jnp.float32)
+        g = jnp.zeros(9, jnp.float32)
         loss = None
         for k in dims:
-            e = jnp.zeros(7, jnp.float32).at[k].set(hs[k])
+            e = jnp.zeros(9, jnp.float32).at[k].set(hs[k])
             lp = loss_of(vec + e, seed)
             lm = loss_of(vec - e, seed)
             g = g.at[k].set((lp - lm) / (2.0 * hs[k]))
             if loss is None:
                 loss = 0.5 * (lp + lm)   # O(h^2) from the center value
-        grads = {"center": g[:3], "cam_origin": g[3:6], "fov": g[6]}
+        grads = {"center": g[:3], "cam_origin": g[3:6], "fov": g[6],
+                 "sigma_a": g[7], "sigma_s": g[8]}
         updates, opt_state = optimizer.update(grads, opt_state, theta)
         theta = optax.apply_updates(theta, updates)
+        if sigma:
+            # projected GD: keep the medium physical (FD at sigma<=0 is
+            # meaningless and h_sigma-sized Adam steps can cross zero)
+            theta = dict(theta)
+            theta["sigma_a"] = jnp.maximum(theta["sigma_a"], 1e-6)
+            theta["sigma_s"] = jnp.maximum(theta["sigma_s"], 1e-6)
         return theta, opt_state, loss
 
     return step
 
 
 def fit_geom_fd(scene: Scene, camera, target, *, sphere: int | None,
-                cam_grads: bool = True, steps: int = 60, spp: int = 16,
+                cam_grads: bool = True, sigma: bool = False,
+                steps: int = 60, spp: int = 16,
                 learning_rate=2e-1, h: float = 0.5, h_fov: float = 2e-3,
-                distance: str = "free", max_bounces: int = 32,
+                h_sigma: float = 5e-4, distance: str = "free",
+                max_bounces: int = 32,
                 tile_rows: int = 8, seed: int = 0, interpret: bool = False,
                 param_filter=None, log_every: int = 0):
     """fit_geom with boundary-aware CRN finite-difference gradients
     (make_fd_geom_train_step) instead of the detached dual estimator.
+    sigma=True additionally recovers the medium coefficients (joint
+    geometry + medium inverse rendering on one kernel; pass a per-block
+    optimizer via make_fd_geom_train_step directly if sigma needs its own
+    learning rate, which it usually does — sigma ~1e-3 vs positions ~1e1).
     Returns (theta, losses)."""
     height, width = target.shape[:2]
     optimizer = optax.adam(learning_rate)
@@ -231,7 +246,8 @@ def fit_geom_fd(scene: Scene, camera, target, *, sphere: int | None,
     opt_state = optimizer.init(theta)
     step = make_fd_geom_train_step(
         scene, camera, width, height, spp, optimizer, sphere=sphere,
-        cam_grads=cam_grads, h=h, h_fov=h_fov, distance=distance,
+        cam_grads=cam_grads, sigma=sigma, h=h, h_fov=h_fov,
+        h_sigma=h_sigma, distance=distance,
         max_bounces=max_bounces, tile_rows=tile_rows, interpret=interpret)
     target_flat = jnp.asarray(target).reshape(width * height, 3)
     losses = []

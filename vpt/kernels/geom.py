@@ -71,15 +71,19 @@ __all__ = ["make_geom_renderer", "pack_theta"]
 
 
 def pack_theta(scene: Scene, camera, sphere: int | None):
-    """Geometric parameter pytree: the differentiated sphere's center plus
-    the camera origin and fov scale (always present — traced from SMEM so
-    training never recompiles; tangents only for the enabled blocks)."""
+    """Geometric + medium parameter pytree: the differentiated sphere's
+    center, the camera origin and fov scale, and the medium coefficients
+    sigma_a/sigma_s (all always present — traced from SMEM so training
+    never recompiles; dual tangents only for the enabled geometric
+    blocks; sigma rides the primal for CRN-FD / re-render use)."""
     center = (jnp.zeros(3, jnp.float32) if sphere is None
               else jnp.asarray(scene.center[sphere], jnp.float32))
     return {
         "center": center,
         "cam_origin": jnp.asarray(camera.origin, jnp.float32),
         "fov": jnp.asarray(camera.fov_scale, jnp.float32),
+        "sigma_a": jnp.asarray(scene.medium.sigma_a, jnp.float32),
+        "sigma_s": jnp.asarray(scene.medium.sigma_s, jnp.float32),
     }
 
 
@@ -134,10 +138,6 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
     n_em = len(emitters)
     mis_lights = sc["mis_lights"]
     max_iters = spp * max_bounces + 64
-    sigma_t = sc["sigma_a"] + sc["sigma_s"]
-    inv_st = 1.0 / sigma_t
-    ar_cp = sc["sigma_s"] * inv_st / cp
-    ss = sc["sigma_s"]
     NPLANES = 3 * (1 + K)
 
     def basis(k):
@@ -149,6 +149,15 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
         pc = [theta_ref[i] for i in range(3)]
         co = [theta_ref[3 + i] for i in range(3)]
         fv = theta_ref[6]
+        # medium coefficients: TRACED scalars (no tangent seeds — their
+        # smooth chain rides the primal; CRN FD differentiates them, the
+        # reverse diff kernel remains the pathwise/score alternative).
+        # Traced => re-render/fit at any sigma without recompiling, and
+        # joint {geometry, sigma} FD recovery runs on ONE kernel.
+        sigma_t = theta_ref[7] + theta_ref[8]
+        inv_st = 1.0 / sigma_t
+        ar_cp = theta_ref[8] * inv_st * (1.0 / cp)
+        ss = theta_ref[8]
         if sphere is not None:
             ctr_dual = (pc if primal_only
                         else [du.D(pc[i], basis(i)) for i in range(3)])
@@ -414,7 +423,7 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
             u_p1, u_p2 = rng(), rng()
             wi_m = du.uniform_sphere(u_p1, u_p2)      # plain: pure uniforms
             if distance == "free":
-                med_scale = ar_cp                     # python float
+                med_scale = ar_cp                     # traced scalar
             else:
                 med_scale = (t_xt / pdf_success) * (ss / cp)
             if nee:
@@ -492,6 +501,8 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
             jnp.reshape(theta["center"], (3,)).astype(jnp.float32),
             jnp.reshape(theta["cam_origin"], (3,)).astype(jnp.float32),
             jnp.reshape(theta["fov"], (1,)).astype(jnp.float32),
+            jnp.reshape(theta["sigma_a"], (1,)).astype(jnp.float32),
+            jnp.reshape(theta["sigma_s"], (1,)).astype(jnp.float32),
         ])
 
     def render(theta, seed):
@@ -512,10 +523,15 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
         gc = g[:n_center] if n_center else jnp.zeros(0, jnp.float32)
         gcam = g[n_center:]
         zero3 = jnp.zeros(3, jnp.float32)
+        zero0 = jnp.zeros((), jnp.float32)
         theta_ct = {
             "center": gc if n_center else zero3,
             "cam_origin": gcam[:3] if cam_grads else zero3,
-            "fov": gcam[3] if cam_grads else jnp.zeros((), jnp.float32),
+            "fov": gcam[3] if cam_grads else zero0,
+            # no sigma duals: the pathwise sigma gradient lives in
+            # kernels/diff.py; FD (train_fast) differentiates sigma here
+            "sigma_a": zero0,
+            "sigma_s": zero0,
         }
         return theta_ct, np.zeros((), jax.dtypes.float0)
 
