@@ -29,13 +29,15 @@ __all__ = ["make_kernel_train_step", "fit_kernel", "make_geom_train_step",
 def make_kernel_train_step(scene: Scene, camera, width: int, height: int,
                            spp: int, optimizer: optax.GradientTransformation,
                            *, distance: str = "free", max_bounces: int = 32,
-                           tile_rows: int = 32, interpret: bool = False):
+                           tile_rows: int = 32, sampler: str = "random",
+                           interpret: bool = False):
     """Build step(params, opt_state, target_flat, seed) ->
     (params, opt_state, loss). `params` is the kernels.diff pytree
     (pack_params); target_flat is (npix, 3). Geometry/camera are baked."""
     render = make_diff_renderer(
         scene, camera, width, height, max(spp // 2, 1), distance=distance,
-        max_bounces=max_bounces, tile_rows=tile_rows, interpret=interpret)
+        max_bounces=max_bounces, tile_rows=tile_rows, sampler=sampler,
+        interpret=interpret)
 
     @jax.jit
     def step(params, opt_state, target_flat, seed):
@@ -58,6 +60,7 @@ def make_sharded_kernel_train_step(scene: Scene, camera, width: int,
                                    mesh, *, distance: str = "free",
                                    max_bounces: int = 32,
                                    tile_rows: int = 32,
+                                   sampler: str = "random",
                                    interpret: bool = False):
     """Multi-chip kernel training: each device runs the fused fwd/bwd pair
     over its contiguous pixel-tile range (the backward kernel masks lanes
@@ -73,7 +76,8 @@ def make_sharded_kernel_train_step(scene: Scene, camera, width: int,
     n_data = mesh.shape[DATA_AXIS]
     render = make_diff_renderer(
         scene, camera, width, height, max(spp // 2, 1), distance=distance,
-        max_bounces=max_bounces, tile_rows=tile_rows, interpret=interpret)
+        max_bounces=max_bounces, tile_rows=tile_rows, sampler=sampler,
+        interpret=interpret)
     lanes = render.lanes_per_tile
     npix = render.npix
     tiles_per_shard = -(-render.num_tiles // n_data)
@@ -293,7 +297,8 @@ def fit_geom(scene: Scene, camera, target, *, sphere: int | None,
 
 def fit_kernel(scene: Scene, camera, target, *, steps: int = 100,
                spp: int = 16, learning_rate=1.5e-3, distance: str = "free",
-               max_bounces: int = 32, seed: int = 0, interpret: bool = False,
+               max_bounces: int = 32, sampler: str = "random",
+               seed: int = 0, interpret: bool = False,
                param_filter=None, log_every: int = 0):
     """Recover {sigma_a, sigma_s, albedo, radiance} from a target (H, W, 3)
     image with the fused kernel. `param_filter(updated, initial) -> params`
@@ -306,7 +311,7 @@ def fit_kernel(scene: Scene, camera, target, *, steps: int = 100,
     opt_state = optimizer.init(params)
     step = make_kernel_train_step(scene, camera, width, height, spp,
                                   optimizer, distance=distance,
-                                  max_bounces=max_bounces,
+                                  max_bounces=max_bounces, sampler=sampler,
                                   interpret=interpret)
     target_flat = jnp.asarray(target).reshape(width * height, 3)
     losses = []

@@ -91,6 +91,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                        distance: str = "free",
                        continue_prob: float = 0.6, max_bounces: int = 32,
                        tile_rows: int = 32, jitter: bool = True,
+                       sampler: str = "random",
                        interpret: bool = False):
     """Build render(params, seed:int) -> (npix, 3), reverse-differentiable
     w.r.t. params (see module docstring).
@@ -99,7 +100,16 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
     'equiangular' the explicitVPTracerRecursive family (vptShadeMethods.h:
     1014-1149) — its distance pdf is sigma-independent geometry, so the
     score terms reduce to the Bernoulli(Tr) event log-probs, while the
-    explicit T and 1/pSuccess value factors contribute pathwise."""
+    explicit T and 1/pSuccess value factors contribute pathwise.
+
+    sampler='ld': same first-5-dimension CP-rotated R5 stratification as
+    kernels/wavefront.py. The shared body means the replay-backward
+    regenerates the identical stratified draws, so gradients stay exact
+    for the stratified estimator; stratified uniforms keep their marginal
+    distribution, so every pdf/score formula is unchanged and the gradient
+    estimator stays unbiased — with visibly less variance (BASELINE.md)."""
+    if sampler not in ("random", "ld"):
+        raise ValueError(f"unknown sampler {sampler!r}")
     sc = _scene_consts(scene)
     S = len(sc["r"])
     P = 2 + 6 * S
@@ -171,9 +181,32 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                       jnp.where(valid, gbar_g[:], 0.0) * (1.0 / spp),
                       jnp.where(valid, gbar_b[:], 0.0) * (1.0 / spp)]
 
-            def camera_ray(rng):
-                u = rng() if jitter else jnp.full((R, 128), 0.5, jnp.float32)
-                v = rng() if jitter else jnp.full((R, 128), 0.5, jnp.float32)
+            if sampler == "ld":
+                # R5 Kronecker + per-pixel CP offsets (kernels/wavefront.py
+                # rationale); identical in the grads=True replay
+                A1, A2, A3, A4, A5 = (0.8812714616335696, 0.7766393890897682,
+                                      0.6844301295853426, 0.6031687406857282,
+                                      0.5315553977157913)
+                rng_off = pr.Pcg(pr.pcg_seed(
+                    lane ^ jnp.int32(0x2545F491),
+                    seed_ref[0] + jnp.int32(747796405)))
+                off_u, off_v, off_w = rng_off(), rng_off(), rng_off()
+                off_r, off_p = rng_off(), rng_off()
+
+                def _strat(a, off, s_f):
+                    x = a * s_f + off
+                    return x - jnp.floor(x)
+
+            def camera_ray(rng, samples):
+                if sampler == "ld" and jitter:
+                    s_f = samples.astype(jnp.float32)
+                    u = _strat(A1, off_u, s_f)
+                    v = _strat(A2, off_v, s_f)
+                elif jitter:
+                    u, v = rng(), rng()
+                else:
+                    u = jnp.full((R, 128), 0.5, jnp.float32)
+                    v = jnp.full((R, 128), 0.5, jnp.float32)
                 sx = (px + u - 0.5) / width - 0.5
                 sy = (py + v - 0.5) / height - 0.5
                 d = [cx[i] * sx + cy[i] * sy + cam_d[i] for i in range(3)]
@@ -343,7 +376,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 alive = alive_i > 0
                 rng = pr.Pcg(rngs)
                 need = (~alive) & (samples < spp)
-                nd = camera_ray(rng)
+                nd = camera_ray(rng, samples)
                 one = 1.0 + z
                 o = pr.sel3(need, [jnp.float32(cam_o[i]) + z
                                    for i in range(3)], o)
@@ -355,17 +388,24 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
 
                 # ---- bounce (same draw order as the forward kernel) -----
                 u_rr = rng()
+                u_pick = rng()
+                u_dist = rng()
+                if sampler == "ld":
+                    s_f = samples.astype(jnp.float32)
+                    d0 = depth == 0
+                    u_rr = jnp.where(d0, _strat(A4, off_r, s_f), u_rr)
+                    u_pick = jnp.where(d0, _strat(A5, off_p, s_f), u_pick)
+                    u_dist = jnp.where(d0, _strat(A3, off_w, s_f), u_dist)
                 alive = alive & (u_rr >= q)
                 hit, t, at = pr.nearest(sc, o, d, alb, rad)
                 t_eff = jnp.where(hit, t, BIG)
                 xs = [o[i] + t_eff * d[i] for i in range(3)]
                 nrm = pr.normalize3([xs[0] - at["cx"], xs[1] - at["cy"],
                                      xs[2] - at["cz"]])
-                lc, lrad, lr, lid = light_attrs(rng())
+                lc, lrad, lr, lid = light_attrs(u_pick)
                 inv_ps = float(n_em)   # 1/prob_source
                 inv_cp = 1.0 / cp  # python const: fold the cp divisions
 
-                u_dist = rng()
                 if distance == "free":
                     d_s = -jnp.log1p(-u_dist) * inv_st
                     surface = (d_s > t_eff) & hit
