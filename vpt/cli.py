@@ -37,6 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--chunk-pixels", type=int, default=65536)
     p.add_argument("--no-jitter", action="store_true")
+    p.add_argument("--renderer", default="auto",
+                   choices=["auto", "pallas", "persistent", "scan"])
+    p.add_argument("--sampler", default="random", choices=["random", "ld"],
+                   help="ld: low-discrepancy first-5-dim stratification "
+                        "(unbiased, lower MSE, faster; pallas renderer)")
     p.add_argument("-o", "--output", default="image.ppm")
     p.add_argument("--sharded", action="store_true",
                    help="render over all local devices via the (data,sample) mesh")
@@ -76,6 +81,7 @@ def main(argv=None) -> int:
         integrator=args.integrator, max_bounces=args.max_bounces,
         continue_prob=args.continue_prob, seed=args.seed,
         chunk_pixels=args.chunk_pixels, jitter=not args.no_jitter,
+        renderer=args.renderer, sampler=args.sampler,
     )
 
     t0 = time.time()
