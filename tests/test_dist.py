@@ -81,6 +81,28 @@ def test_sharded_pallas_deterministic_and_covers_all_pixels():
     assert a.mean() > 0
 
 
+def test_sharded_pallas_ld_sampler_finite_and_seeded():
+    """sampler='ld' flows through the sharded fused path: deterministic
+    per (mesh, seed), seed-sensitive, finite, nonzero."""
+    import dataclasses as _dc
+
+    from vpt.dist.sharded_pallas import render_pallas_sharded
+
+    mesh = make_mesh()
+    cfg = vpt.RenderConfig(width=20, height=10, spp=8, max_bounces=6,
+                           sampler="ld")
+    a = np.asarray(render_pallas_sharded(SCENE, CAM, cfg, mesh,
+                                         interpret=True))
+    b = np.asarray(render_pallas_sharded(SCENE, CAM, cfg, mesh,
+                                         interpret=True))
+    c = np.asarray(render_pallas_sharded(
+        SCENE, CAM, _dc.replace(cfg, seed=cfg.seed + 1), mesh,
+        interpret=True))
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+    assert np.isfinite(a).all() and a.mean() > 0
+
+
 def test_train_step_updates_and_replicates():
     mesh = make_mesh()
     spec = engine.IntegratorSpec(max_bounces=4)
