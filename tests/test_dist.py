@@ -103,6 +103,41 @@ def test_sharded_pallas_ld_sampler_finite_and_seeded():
     assert np.isfinite(a).all() and a.mean() > 0
 
 
+@pytest.mark.slow
+def test_sharded_fd_geom_step_matches_single_device():
+    """The psum'd sharded FD loss equals the single-device FD loss (global
+    -lane-keyed PCG => identical draws, summation order aside), and the
+    step moves only the enabled block."""
+    import optax
+
+    from vpt.dist import make_fd_geom_train_step, make_sharded_fd_geom_train_step
+    from vpt.kernels.geom import pack_theta
+
+    mesh = make_mesh()
+    W, H, SPP, MB, LIGHT = 16, 8, 4, 4, 8
+    target = np.zeros((W * H, 3), np.float32) + 0.05
+    optimizer = optax.adam(0.3)
+    theta = dict(pack_theta(SCENE, CAM, LIGHT))
+    theta["center"] = theta["center"] + jnp.asarray([0.0, 4.0, 0.0])
+
+    s1 = make_fd_geom_train_step(SCENE, CAM, W, H, SPP, optimizer,
+                                 sphere=LIGHT, cam_grads=False,
+                                 max_bounces=MB, interpret=True)
+    s8 = make_sharded_fd_geom_train_step(SCENE, CAM, W, H, SPP, optimizer,
+                                         mesh, sphere=LIGHT, cam_grads=False,
+                                         max_bounces=MB, interpret=True)
+    t1, _, l1 = s1(theta, optimizer.init(theta), jnp.asarray(target),
+                   jnp.int32(5))
+    t8, _, l8 = s8(theta, optimizer.init(theta), jnp.asarray(target),
+                   jnp.int32(5))
+    assert np.isfinite(float(l1)) and np.isfinite(float(l8))
+    assert np.isclose(float(l1), float(l8), rtol=1e-5), (float(l1), float(l8))
+    assert np.allclose(np.asarray(t1["center"]), np.asarray(t8["center"]),
+                       rtol=1e-4, atol=1e-5)
+    assert np.allclose(np.asarray(t8["cam_origin"]),
+                       np.asarray(theta["cam_origin"]))
+
+
 def test_train_step_updates_and_replicates():
     mesh = make_mesh()
     spec = engine.IntegratorSpec(max_bounces=4)

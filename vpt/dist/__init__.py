@@ -10,7 +10,9 @@ from .train import (apply_params, fit, make_train_step, project_params,
                     scene_params)
 from .train_fast import (fit_geom, fit_geom_fd, fit_kernel,
                          make_fd_geom_train_step, make_geom_train_step,
-                         make_kernel_train_step)
+                         make_kernel_train_step,
+                         make_sharded_fd_geom_train_step,
+                         make_sharded_kernel_train_step)
 
 __all__ = [
     "DATA_AXIS", "SAMPLE_AXIS", "make_mesh", "mesh_shape_for",
@@ -18,4 +20,5 @@ __all__ = [
     "make_train_step", "fit",
     "make_kernel_train_step", "fit_kernel", "make_geom_train_step",
     "fit_geom", "make_fd_geom_train_step", "fit_geom_fd",
+    "make_sharded_kernel_train_step", "make_sharded_fd_geom_train_step",
 ]

@@ -23,7 +23,9 @@ from ..scene.scene import Scene
 from .train import project_params
 
 __all__ = ["make_kernel_train_step", "fit_kernel", "make_geom_train_step",
-           "fit_geom", "make_fd_geom_train_step", "fit_geom_fd"]
+           "fit_geom", "make_fd_geom_train_step", "fit_geom_fd",
+           "make_sharded_kernel_train_step",
+           "make_sharded_fd_geom_train_step"]
 
 
 def make_kernel_train_step(scene: Scene, camera, width: int, height: int,
@@ -224,6 +226,102 @@ def make_fd_geom_train_step(scene: Scene, camera, width: int, height: int,
             theta["sigma_a"] = jnp.maximum(theta["sigma_a"], 1e-6)
             theta["sigma_s"] = jnp.maximum(theta["sigma_s"], 1e-6)
         return theta, opt_state, loss
+
+    return step
+
+
+def make_sharded_fd_geom_train_step(scene: Scene, camera, width: int,
+                                    height: int, spp: int, optimizer,
+                                    mesh, *, sphere: int | None,
+                                    cam_grads: bool = True,
+                                    sigma: bool = False, h: float = 0.5,
+                                    h_fov: float = 2e-3,
+                                    h_sigma: float = 5e-4,
+                                    distance: str = "free",
+                                    max_bounces: int = 32,
+                                    tile_rows: int = 8,
+                                    interpret: bool = False):
+    """Multi-chip boundary-aware geometric/medium training: each device
+    runs the theta-traced primal kernel over its contiguous pixel-tile
+    range, the A/B product losses at theta+-h are reduced with one psum
+    over the data axis, and every device forms the identical FD gradient
+    (per-lane PCG streams are global-lane-keyed, so the sharded loss
+    equals the single-device loss up to summation order).
+    step(theta, opt_state, target_flat (npix,3), seed) ->
+    (theta, opt_state, loss)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from .mesh import DATA_AXIS
+
+    n_data = mesh.shape[DATA_AXIS]
+    render = make_geom_renderer(
+        scene, camera, width, height, max(spp // 2, 1), sphere=sphere,
+        cam_grads=cam_grads, distance=distance, max_bounces=max_bounces,
+        tile_rows=tile_rows, primal_only=True, interpret=interpret)
+    flatten = render.flatten
+    lanes = render.lanes_per_tile
+    npix = render.npix
+    tiles_per_shard = -(-render.num_tiles // n_data)
+    shard_pixels = tiles_per_shard * lanes
+    raw = render.make_raw(tiles_per_shard)
+    padded = n_data * shard_pixels
+    spp_half = max(spp // 2, 1)
+
+    dims = (([0, 1, 2] if sphere is not None else [])
+            + ([3, 4, 5, 6] if cam_grads else [])
+            + ([7, 8] if sigma else []))
+    if not dims:
+        raise ValueError("no differentiated block enabled")
+    hs = [h, h, h, h, h, h, h_fov, h_sigma, h_sigma]
+
+    def body(theta, opt_state, target, seed):
+        di = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
+        base = di * jnp.int32(shard_pixels)
+        lane = base + jnp.arange(shard_pixels, dtype=jnp.int32)
+        valid = (lane < npix)[:, None]
+        vec = flatten(theta)
+
+        def loss_of(v, s):
+            a, _ = raw(v, s * 2, base)
+            b, _ = raw(v, s * 2 + 1, base)
+            scale = 1.0 / spp_half
+            err = jnp.where(valid, (a * scale - target) * (b * scale - target),
+                            0.0)
+            return jax.lax.psum(jnp.sum(err), DATA_AXIS) / (npix * 3)
+
+        g = jnp.zeros(9, jnp.float32)
+        loss = None
+        for k in dims:
+            e = jnp.zeros(9, jnp.float32).at[k].set(hs[k])
+            lp = loss_of(vec + e, seed)
+            lm = loss_of(vec - e, seed)
+            g = g.at[k].set((lp - lm) / (2.0 * hs[k]))
+            if loss is None:
+                loss = 0.5 * (lp + lm)
+        grads = {"center": g[:3], "cam_origin": g[3:6], "fov": g[6],
+                 "sigma_a": g[7], "sigma_s": g[8]}
+        updates, opt_state = optimizer.update(grads, opt_state, theta)
+        theta = optax.apply_updates(theta, updates)
+        if sigma:
+            theta = dict(theta)
+            theta["sigma_a"] = jnp.maximum(theta["sigma_a"], 1e-6)
+            theta["sigma_s"] = jnp.maximum(theta["sigma_s"], 1e-6)
+        return theta, opt_state, loss
+
+    repl = lambda tree: jax.tree_util.tree_map(lambda _: P(), tree)
+
+    @jax.jit
+    def step(theta, opt_state, target_flat, seed):
+        pad = padded - npix
+        tgt = jnp.pad(target_flat, ((0, pad), (0, 0)))
+        fn = shard_map(
+            body, mesh=mesh,
+            in_specs=(repl(theta), repl(opt_state), P(DATA_AXIS, None), P()),
+            out_specs=(repl(theta), repl(opt_state), P()),
+            check_vma=False,
+        )
+        return fn(theta, opt_state, tgt, jnp.asarray(seed, jnp.int32))
 
     return step
 

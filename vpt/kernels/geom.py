@@ -537,10 +537,49 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
 
     grad_render.defvjp(gr_fwd, gr_bwd)
 
+    def make_raw(n_tiles: int):
+        """fn(theta_vec (9,), seed i32, base_pixel i32) -> (img_sums
+        (n_tiles*LANES, 3), tang_sums (K, n_tiles*LANES, 3)). Per-lane
+        radiance SUMS (divide by spp); lanes past npix render a clamped
+        duplicate of the last pixel and must be masked by the caller.
+        Per-lane PCG streams are keyed by GLOBAL lane id, so a sharded
+        render reproduces the whole-frame draws exactly."""
+
+        def raw(theta_vec, seed, base_pixel):
+            outs = pl.pallas_call(
+                kernel,
+                grid=(n_tiles,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+                out_specs=[
+                    pl.BlockSpec((R, 128), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+                    for _ in range(NPLANES)
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((n_tiles * R, 128), jnp.float32)
+                    for _ in range(NPLANES)
+                ],
+                interpret=interp,
+            )(theta_vec, jnp.reshape(seed, (1,)).astype(jnp.int32),
+              jnp.reshape(base_pixel, (1,)).astype(jnp.int32))
+            flat = [o.reshape(-1) for o in outs]
+            img = jnp.stack([flat[c * (1 + K)] for c in range(3)], axis=-1)
+            tang = jnp.stack([
+                jnp.stack([flat[c * (1 + K) + 1 + k] for c in range(3)],
+                          axis=-1)
+                for k in range(K)
+            ]) if K else jnp.zeros((0, n_tiles * LANES, 3), jnp.float32)
+            return img, tang
+
+        return raw
+
     if not primal_only:
         render.grad_render = grad_render
-    render.run_vec = run          # vec-level entry (7 floats): FD substrate
+    render.run_vec = run          # vec-level entry (9 floats): FD substrate
     render.flatten = _flatten
+    render.make_raw = make_raw
+    render.lanes_per_tile = LANES
+    render.num_tiles = num_tiles
     render.K = K
     render.basis_names = (tuple(f"center.{a}" for a in "xyz")[:n_center]
                           + (("cam_origin.x", "cam_origin.y", "cam_origin.z",
