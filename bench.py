@@ -120,8 +120,10 @@ def main():
         try:
             from vpt.kernels.diff import make_diff_renderer, pack_params
 
-            drender = make_diff_renderer(scene, camera, width, height, spp,
-                                         max_bounces=32)
+            # same sampler as the fwd metric: one JSON line = one workload
+            drender = make_diff_renderer(
+                scene, camera, width, height, spp, max_bounces=32,
+                sampler=os.environ.get("BENCH_SAMPLER", "ld"))
             params = pack_params(scene)
             vg = jax.jit(jax.value_and_grad(
                 lambda p, s: jnp.mean(drender(p, s))))

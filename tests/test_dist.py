@@ -113,7 +113,9 @@ def test_sharded_fd_geom_step_matches_single_device():
     from vpt.dist import make_fd_geom_train_step, make_sharded_fd_geom_train_step
     from vpt.kernels.geom import pack_theta
 
-    mesh = make_mesh()
+    # sample_shards=1: pure data sharding must reproduce the single-device
+    # loss exactly (sample shards > 1 average decorrelated secants instead)
+    mesh = make_mesh(sample_shards=1)
     W, H, SPP, MB, LIGHT = 16, 8, 4, 4, 8
     target = np.zeros((W * H, 3), np.float32) + 0.05
     optimizer = optax.adam(0.3)
@@ -135,6 +137,20 @@ def test_sharded_fd_geom_step_matches_single_device():
     assert np.allclose(np.asarray(t1["center"]), np.asarray(t8["center"]),
                        rtol=1e-4, atol=1e-5)
     assert np.allclose(np.asarray(t8["cam_origin"]),
+                       np.asarray(theta["cam_origin"]))
+
+    # default (data, sample) mesh: sample shards average decorrelated
+    # secants — still a valid step (finite loss, moves only the light)
+    s42 = make_sharded_fd_geom_train_step(SCENE, CAM, W, H, SPP, optimizer,
+                                          make_mesh(), sphere=LIGHT,
+                                          cam_grads=False, max_bounces=MB,
+                                          interpret=True)
+    t42, _, l42 = s42(theta, optimizer.init(theta), jnp.asarray(target),
+                      jnp.int32(5))
+    assert np.isfinite(float(l42))
+    assert not np.allclose(np.asarray(t42["center"]),
+                           np.asarray(theta["center"]))
+    assert np.allclose(np.asarray(t42["cam_origin"]),
                        np.asarray(theta["cam_origin"]))
 
 

@@ -32,9 +32,10 @@ class RenderConfig:
     dtype: str = "float32"       # "float64" for CPU oracle-parity runs
     jitter: bool = True
     # "random": pure PCG (reference semantics — erand48 everywhere);
-    # "ld": low-discrepancy first-3-dimension stratification (pixel jitter
-    # + depth-0 distance) via a Cranley-Patterson-rotated R3 Kronecker
-    # sequence. Unbiased; renderer="pallas" only (others ignore it).
+    # "ld": low-discrepancy first-5-dimension stratification (pixel jitter
+    # u,v; depth-0 distance, RR and light-pick draws) via a
+    # Cranley-Patterson-rotated R5 Kronecker sequence. Unbiased; fused
+    # (pallas) renderers only — the engine paths ignore it.
     sampler: str = "random"
     # "pallas": the fused TPU kernel (fastest; free-flight/equi-angular
     # families, forward-only); "persistent": path-regeneration wavefront

@@ -184,8 +184,6 @@ def render(scene: Scene, camera: cam.Camera, cfg: RenderConfig,
     """Render an (H, W, 3) linear-radiance image, averaged over cfg.spp
     jittered samples per pixel (the per-pixel mean of src/rt.cpp:786-800,
     without the clamp — tone mapping lives in vpt.io)."""
-    if key is None:
-        key = jax.random.PRNGKey(cfg.seed)
     from ..integrators.volume import VOLUME_INTEGRATORS as _VOL
 
     if cfg.renderer == "pallas":
@@ -196,6 +194,20 @@ def render(scene: Scene, camera: cam.Camera, cfg: RenderConfig,
         from ..kernels.wavefront import render_pallas
 
         return render_pallas(scene, camera, cfg)
+
+    if (cfg.renderer == "auto" and not differentiable and key is None
+            and jax.default_backend() in ("tpu", "axon")):
+        # on real TPU hardware, auto means the fused kernel whenever it
+        # covers the integrator (~100x the persistent engine). Only when
+        # the caller did not pass an explicit PRNG key: the kernel seeds
+        # from cfg.seed (its PCG streams), not from a threefry key.
+        from ..kernels import wavefront as _wf
+
+        if cfg.integrator in _wf.PALLAS_INTEGRATORS:
+            return _wf.render_pallas(scene, camera, cfg)
+
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
 
     use_persistent = cfg.renderer == "persistent" or (
         cfg.renderer == "auto"

@@ -156,6 +156,44 @@ def make_geom_train_step(scene: Scene, camera, width: int, height: int,
     return step
 
 
+def _fit_loop(step, params, optimizer, target, width, height, steps, seed,
+              param_filter, log_every):
+    """Shared training loop: init, per-step seed, optional freeze filter,
+    loss log. Returns (params, losses)."""
+    init = dict(params)
+    opt_state = optimizer.init(params)
+    target_flat = jnp.asarray(target).reshape(width * height, 3)
+    losses = []
+    for i in range(steps):
+        params, opt_state, loss = step(params, opt_state, target_flat,
+                                       jnp.int32(seed + i))
+        if param_filter is not None:
+            params = param_filter(params, init)
+        losses.append(float(loss))
+        if log_every and i % log_every == 0:
+            print(f"step {i:4d}  loss {losses[-1]:.6g}")
+    return params, losses
+
+
+def _fd_dims(sphere, cam_grads, sigma):
+    dims = (([0, 1, 2] if sphere is not None else [])
+            + ([3, 4, 5, 6] if cam_grads else [])
+            + ([7, 8] if sigma else []))
+    if not dims:
+        raise ValueError("no differentiated block enabled")
+    return dims
+
+
+def _phys_probe(v):
+    """Clamp an FD probe's sigma block (dims 7-8) into the physical domain.
+    Projection after the Adam update keeps THETA >= 1e-6, but the minus
+    probe theta - h_sigma can still cross zero and render a negative
+    extinction (negative free-flight distances, garbage secant). At the
+    floor this makes lp == lm => zero gradient: the correct projected-GD
+    boundary behavior."""
+    return v.at[7:].set(jnp.maximum(v[7:], 1e-6))
+
+
 def make_fd_geom_train_step(scene: Scene, camera, width: int, height: int,
                             spp: int, optimizer, *, sphere: int | None,
                             cam_grads: bool = True, sigma: bool = False,
@@ -178,19 +216,15 @@ def make_fd_geom_train_step(scene: Scene, camera, width: int, height: int,
     scene units ~ 1 pixel at the reference camera).
 
     Cost: 4 kernel launches per enabled dimension per step (A/B pair at
-    each of theta+h/theta-h; K<=7 -> <=28 forward passes, each at full
-    fused-kernel speed at spp/2). step(theta, opt_state, target_flat,
-    seed) -> (theta, opt_state, loss)."""
+    each of theta+h/theta-h; all 9 dims enabled -> 36 forward passes, each
+    at full fused-kernel speed at spp/2). step(theta, opt_state,
+    target_flat, seed) -> (theta, opt_state, loss)."""
     render = make_geom_renderer(
         scene, camera, width, height, max(spp // 2, 1), sphere=sphere,
         cam_grads=cam_grads, distance=distance, max_bounces=max_bounces,
         tile_rows=tile_rows, primal_only=True, interpret=interpret)
     run, flatten = render.run_vec, render.flatten
-    dims = (([0, 1, 2] if sphere is not None else [])
-            + ([3, 4, 5, 6] if cam_grads else [])
-            + ([7, 8] if sigma else []))
-    if not dims:
-        raise ValueError("no differentiated block enabled")
+    dims = _fd_dims(sphere, cam_grads, sigma)
     hs = [h, h, h, h, h, h, h_fov, h_sigma, h_sigma]
 
     @jax.jit
@@ -202,8 +236,8 @@ def make_fd_geom_train_step(scene: Scene, camera, width: int, height: int,
             # step): E[(Ia-T)(Ib-T)] = (E[I]-T)^2 — its theta-gradient has
             # no Var(I_theta) term, so the FD secant doesn't chase noise
             # shrinkage. CRN: both seeds are the SAME at v+e and v-e.
-            a, _ = run(v, s * 2)
-            b, _ = run(v, s * 2 + 1)
+            a, _ = run(_phys_probe(v), s * 2)
+            b, _ = run(_phys_probe(v), s * 2 + 1)
             return jnp.mean((a - target_flat) * (b - target_flat))
 
         g = jnp.zeros(9, jnp.float32)
@@ -244,15 +278,18 @@ def make_sharded_fd_geom_train_step(scene: Scene, camera, width: int,
     """Multi-chip boundary-aware geometric/medium training: each device
     runs the theta-traced primal kernel over its contiguous pixel-tile
     range, the A/B product losses at theta+-h are reduced with one psum
-    over the data axis, and every device forms the identical FD gradient
-    (per-lane PCG streams are global-lane-keyed, so the sharded loss
-    equals the single-device loss up to summation order).
-    step(theta, opt_state, target_flat (npix,3), seed) ->
-    (theta, opt_state, loss)."""
+    over the data axis, and every device forms the identical FD gradient.
+    Sample-axis shards render at DECORRELATED seeds and the losses are
+    pmean'd over the sample axis — n_sample independent CRN secants
+    averaged, so those chips buy gradient-variance reduction instead of
+    redundant work. With n_sample == 1 the loss equals the single-device
+    loss up to summation order (per-lane PCG streams are
+    global-lane-keyed). step(theta, opt_state, target_flat (npix,3),
+    seed) -> (theta, opt_state, loss)."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    from .mesh import DATA_AXIS
+    from .mesh import DATA_AXIS, SAMPLE_AXIS
 
     n_data = mesh.shape[DATA_AXIS]
     render = make_geom_renderer(
@@ -268,27 +305,29 @@ def make_sharded_fd_geom_train_step(scene: Scene, camera, width: int,
     padded = n_data * shard_pixels
     spp_half = max(spp // 2, 1)
 
-    dims = (([0, 1, 2] if sphere is not None else [])
-            + ([3, 4, 5, 6] if cam_grads else [])
-            + ([7, 8] if sigma else []))
-    if not dims:
-        raise ValueError("no differentiated block enabled")
+    dims = _fd_dims(sphere, cam_grads, sigma)
     hs = [h, h, h, h, h, h, h_fov, h_sigma, h_sigma]
 
     def body(theta, opt_state, target, seed):
         di = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
+        si = jax.lax.axis_index(SAMPLE_AXIS).astype(jnp.int32)
         base = di * jnp.int32(shard_pixels)
         lane = base + jnp.arange(shard_pixels, dtype=jnp.int32)
         valid = (lane < npix)[:, None]
         vec = flatten(theta)
 
         def loss_of(v, s):
-            a, _ = raw(v, s * 2, base)
-            b, _ = raw(v, s * 2 + 1, base)
+            # sample shards draw decorrelated seeds; CRN still holds WITHIN
+            # each shard (same s at v+e and v-e), so the pmean averages
+            # n_sample independent secants
+            s = s + si * jnp.int32(0x9E37)
+            a, _ = raw(_phys_probe(v), s * 2, base)
+            b, _ = raw(_phys_probe(v), s * 2 + 1, base)
             scale = 1.0 / spp_half
             err = jnp.where(valid, (a * scale - target) * (b * scale - target),
                             0.0)
-            return jax.lax.psum(jnp.sum(err), DATA_AXIS) / (npix * 3)
+            part = jax.lax.psum(jnp.sum(err), DATA_AXIS) / (npix * 3)
+            return jax.lax.pmean(part, SAMPLE_AXIS)
 
         g = jnp.zeros(9, jnp.float32)
         loss = None
@@ -344,24 +383,13 @@ def fit_geom_fd(scene: Scene, camera, target, *, sphere: int | None,
     height, width = target.shape[:2]
     optimizer = optax.adam(learning_rate)
     theta = pack_theta(scene, camera, sphere)
-    init = dict(theta)
-    opt_state = optimizer.init(theta)
     step = make_fd_geom_train_step(
         scene, camera, width, height, spp, optimizer, sphere=sphere,
         cam_grads=cam_grads, sigma=sigma, h=h, h_fov=h_fov,
         h_sigma=h_sigma, distance=distance,
         max_bounces=max_bounces, tile_rows=tile_rows, interpret=interpret)
-    target_flat = jnp.asarray(target).reshape(width * height, 3)
-    losses = []
-    for i in range(steps):
-        theta, opt_state, loss = step(theta, opt_state, target_flat,
-                                      jnp.int32(seed + i))
-        if param_filter is not None:
-            theta = param_filter(theta, init)
-        losses.append(float(loss))
-        if log_every and i % log_every == 0:
-            print(f"step {i:4d}  loss {losses[-1]:.6g}")
-    return theta, losses
+    return _fit_loop(step, theta, optimizer, target, width, height, steps,
+                     seed, param_filter, log_every)
 
 
 def fit_geom(scene: Scene, camera, target, *, sphere: int | None,
@@ -374,23 +402,12 @@ def fit_geom(scene: Scene, camera, target, *, sphere: int | None,
     height, width = target.shape[:2]
     optimizer = optax.adam(learning_rate)
     theta = pack_theta(scene, camera, sphere)
-    init = dict(theta)
-    opt_state = optimizer.init(theta)
     step = make_geom_train_step(scene, camera, width, height, spp, optimizer,
                                 sphere=sphere, cam_grads=cam_grads,
                                 distance=distance, max_bounces=max_bounces,
                                 tile_rows=tile_rows, interpret=interpret)
-    target_flat = jnp.asarray(target).reshape(width * height, 3)
-    losses = []
-    for i in range(steps):
-        theta, opt_state, loss = step(theta, opt_state, target_flat,
-                                      jnp.int32(seed + i))
-        if param_filter is not None:
-            theta = param_filter(theta, init)
-        losses.append(float(loss))
-        if log_every and i % log_every == 0:
-            print(f"step {i:4d}  loss {losses[-1]:.6g}")
-    return theta, losses
+    return _fit_loop(step, theta, optimizer, target, width, height, steps,
+                     seed, param_filter, log_every)
 
 
 def fit_kernel(scene: Scene, camera, target, *, steps: int = 100,
@@ -405,20 +422,9 @@ def fit_kernel(scene: Scene, camera, target, *, steps: int = 100,
     height, width = target.shape[:2]
     optimizer = optax.adam(learning_rate)
     params = pack_params(scene)
-    init = dict(params)
-    opt_state = optimizer.init(params)
     step = make_kernel_train_step(scene, camera, width, height, spp,
                                   optimizer, distance=distance,
                                   max_bounces=max_bounces, sampler=sampler,
                                   interpret=interpret)
-    target_flat = jnp.asarray(target).reshape(width * height, 3)
-    losses = []
-    for i in range(steps):
-        params, opt_state, loss = step(params, opt_state, target_flat,
-                                       jnp.int32(seed + i))
-        if param_filter is not None:
-            params = param_filter(params, init)
-        losses.append(float(loss))
-        if log_every and i % log_every == 0:
-            print(f"step {i:4d}  loss {losses[-1]:.6g}")
-    return params, losses
+    return _fit_loop(step, params, optimizer, target, width, height, steps,
+                     seed, param_filter, log_every)
