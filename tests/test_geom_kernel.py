@@ -268,6 +268,27 @@ def test_fd_geom_train_step_moves_light_only():
                        np.asarray(theta["cam_origin"]))
 
 
+def test_geom_ld_sampler_deterministic_and_finite(render_primal_only):
+    """sampler='ld' on the geom kernel (FD substrate): deterministic per
+    seed, seed-sensitive, finite, and statistically consistent with the
+    PCG sampler (same CP-rotation unbiasedness as the other kernels)."""
+    r = make_geom_renderer(SCENE, CAM, W, H, SPP, sphere=LIGHT,
+                           cam_grads=False, max_bounces=MB, tile_rows=8,
+                           sampler="ld", primal_only=True, interpret=True)
+    a = np.asarray(r(THETA, SEED)[0])
+    assert np.array_equal(a, np.asarray(r(THETA, SEED)[0]))
+    assert not np.array_equal(a, np.asarray(r(THETA, jnp.asarray(4))[0]))
+    assert np.isfinite(a).all() and (a >= 0).all()
+    lm = [float(np.clip(np.asarray(r(THETA, jnp.asarray(s))[0]), 0, 1).mean())
+          for s in range(6)]
+    rm = [float(np.clip(np.asarray(
+        render_primal_only(THETA, jnp.asarray(s))[0]), 0, 1).mean())
+        for s in range(6)]
+    ml, mr = np.mean(lm), np.mean(rm)
+    se = np.hypot(np.std(lm), np.std(rm)) / np.sqrt(6)
+    assert abs(ml - mr) < 4.0 * se + 0.05 * mr, (ml, mr, se)
+
+
 @pytest.mark.slow
 def test_fd_sigma_step_joint_kernel():
     """sigma=True FD step on the theta-traced kernel: the sigma block gets

@@ -200,6 +200,7 @@ def make_fd_geom_train_step(scene: Scene, camera, width: int, height: int,
                             h: float = 0.5, h_fov: float = 2e-3,
                             h_sigma: float = 5e-4, distance: str = "free",
                             max_bounces: int = 32, tile_rows: int = 8,
+                            sampler: str = "random",
                             interpret: bool = False):
     """Geometric training via common-random-number CENTRAL DIFFERENCES on
     the theta-parameterized fused forward kernel (kernels/geom.py,
@@ -222,7 +223,8 @@ def make_fd_geom_train_step(scene: Scene, camera, width: int, height: int,
     render = make_geom_renderer(
         scene, camera, width, height, max(spp // 2, 1), sphere=sphere,
         cam_grads=cam_grads, distance=distance, max_bounces=max_bounces,
-        tile_rows=tile_rows, primal_only=True, interpret=interpret)
+        tile_rows=tile_rows, sampler=sampler, primal_only=True,
+        interpret=interpret)
     run, flatten = render.run_vec, render.flatten
     dims = _fd_dims(sphere, cam_grads, sigma)
     hs = [h, h, h, h, h, h, h_fov, h_sigma, h_sigma]
@@ -274,6 +276,7 @@ def make_sharded_fd_geom_train_step(scene: Scene, camera, width: int,
                                     distance: str = "free",
                                     max_bounces: int = 32,
                                     tile_rows: int = 8,
+                                    sampler: str = "random",
                                     interpret: bool = False):
     """Multi-chip boundary-aware geometric/medium training: each device
     runs the theta-traced primal kernel over its contiguous pixel-tile
@@ -295,7 +298,8 @@ def make_sharded_fd_geom_train_step(scene: Scene, camera, width: int,
     render = make_geom_renderer(
         scene, camera, width, height, max(spp // 2, 1), sphere=sphere,
         cam_grads=cam_grads, distance=distance, max_bounces=max_bounces,
-        tile_rows=tile_rows, primal_only=True, interpret=interpret)
+        tile_rows=tile_rows, sampler=sampler, primal_only=True,
+        interpret=interpret)
     flatten = render.flatten
     lanes = render.lanes_per_tile
     npix = render.npix
@@ -370,7 +374,7 @@ def fit_geom_fd(scene: Scene, camera, target, *, sphere: int | None,
                 steps: int = 60, spp: int = 16,
                 learning_rate=2e-1, h: float = 0.5, h_fov: float = 2e-3,
                 h_sigma: float = 5e-4, distance: str = "free",
-                max_bounces: int = 32,
+                max_bounces: int = 32, sampler: str = "random",
                 tile_rows: int = 8, seed: int = 0, interpret: bool = False,
                 param_filter=None, log_every: int = 0):
     """fit_geom with boundary-aware CRN finite-difference gradients
@@ -386,8 +390,8 @@ def fit_geom_fd(scene: Scene, camera, target, *, sphere: int | None,
     step = make_fd_geom_train_step(
         scene, camera, width, height, spp, optimizer, sphere=sphere,
         cam_grads=cam_grads, sigma=sigma, h=h, h_fov=h_fov,
-        h_sigma=h_sigma, distance=distance,
-        max_bounces=max_bounces, tile_rows=tile_rows, interpret=interpret)
+        h_sigma=h_sigma, distance=distance, max_bounces=max_bounces,
+        tile_rows=tile_rows, sampler=sampler, interpret=interpret)
     return _fit_loop(step, theta, optimizer, target, width, height, steps,
                      seed, param_filter, log_every)
 

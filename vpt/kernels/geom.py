@@ -93,6 +93,7 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
                        distance: str = "free",
                        continue_prob: float = 0.6, max_bounces: int = 32,
                        tile_rows: int = 8, jitter: bool = True,
+                       sampler: str = "random",
                        primal_only: bool = False,
                        interpret: bool = False):
     """Build render(theta, seed) -> (img (npix,3), tang (K, npix, 3)).
@@ -118,6 +119,8 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
     """
     if sphere is None and not cam_grads and not primal_only:
         raise ValueError("no differentiated block enabled")
+    if sampler not in ("random", "ld"):
+        raise ValueError(f"unknown sampler {sampler!r}")
     sc = _scene_consts(scene)
     S = len(sc["r"])
     cp = float(continue_prob)
@@ -188,6 +191,25 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
         py = (height - 1 - pixel // width).astype(jnp.float32)
         z = jnp.zeros((R, 128), jnp.float32)
 
+        if sampler == "ld":
+            # R5 Kronecker + per-pixel CP offsets (kernels/wavefront.py
+            # rationale). For the FD substrate (primal_only) this also
+            # cuts the CRN secant's variance: the strata are FIXED across
+            # the theta+-h probes, so the first-segment sampling noise
+            # cancels even more exactly.
+            A1, A2, A3, A4, A5 = (0.8812714616335696, 0.7766393890897682,
+                                  0.6844301295853426, 0.6031687406857282,
+                                  0.5315553977157913)
+            rng_off = Pcg(pcg_seed(
+                lane ^ jnp.int32(0x2545F491),
+                seed_ref[0] + jnp.int32(747796405)))
+            off_u, off_v, off_w = rng_off(), rng_off(), rng_off()
+            off_r, off_p = rng_off(), rng_off()
+
+            def _strat(a, off, s_f):
+                x = a * s_f + off
+                return x - jnp.floor(x)
+
         # --- dual <-> flat carry helpers -------------------------------
         def mats(x):
             v, t = du.val(x), du.tan(x)
@@ -206,9 +228,16 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
         def und3(flat):
             return [und(flat[c * (1 + K):(c + 1) * (1 + K)]) for c in range(3)]
 
-        def camera_ray(rng):
-            u = rng() if jitter else jnp.full((R, 128), 0.5, jnp.float32)
-            v = rng() if jitter else jnp.full((R, 128), 0.5, jnp.float32)
+        def camera_ray(rng, samples):
+            if sampler == "ld" and jitter:
+                s_f = samples.astype(jnp.float32)
+                u = _strat(A1, off_u, s_f)
+                v = _strat(A2, off_v, s_f)
+            elif jitter:
+                u, v = rng(), rng()
+            else:
+                u = jnp.full((R, 128), 0.5, jnp.float32)
+                v = jnp.full((R, 128), 0.5, jnp.float32)
             sx = (px + u - 0.5) / width - 0.5
             sy = (py + v - 0.5) / height - 0.5
             d = [cx[i] * sx + cy[i] * sy + cam_d[i] for i in range(3)]
@@ -346,7 +375,7 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
             alive = alive_i > 0
             rng = Pcg(rngs)
             need = (~alive) & (samples < spp)
-            nd = camera_ray(rng)
+            nd = camera_ray(rng, samples)
             one = 1.0 + z
             o = du.sel3(need, cam_o, o)
             d = du.sel3(need, nd, d)
@@ -357,16 +386,23 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
 
             # ---- bounce (same draw order as kernels/diff.py) ----------
             u_rr = rng()
+            u_pick = rng()
+            u_dist = rng()
+            if sampler == "ld":
+                s_f = samples.astype(jnp.float32)
+                d0 = depth == 0
+                u_rr = jnp.where(d0, _strat(A4, off_r, s_f), u_rr)
+                u_pick = jnp.where(d0, _strat(A5, off_p, s_f), u_pick)
+                u_dist = jnp.where(d0, _strat(A3, off_w, s_f), u_dist)
             alive = alive & (u_rr >= q)
             hit, t, at = du.nearest(sc, ctr_tab, o, d)
             t_eff = du.where(hit, t, BIG + z)
             xs = [o[i] + t_eff * d[i] for i in range(3)]
             nrm = du.normalize3([xs[0] - at["cx"], xs[1] - at["cy"],
                                  xs[2] - at["cz"]])
-            lc, lrad, lr, lid = light_attrs(rng())
+            lc, lrad, lr, lid = light_attrs(u_pick)
             inv_ps = float(n_em)
 
-            u_dist = rng()
             if distance == "free":
                 d_s = -jnp.log1p(-u_dist) * inv_st       # sigma-only: plain
                 surface = (t_eff < d_s) & hit
