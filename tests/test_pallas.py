@@ -63,6 +63,53 @@ def test_pallas_ld_sampler_deterministic_and_unbiased():
     assert abs(ml - mr) < 4.0 * se + 0.03 * mr, (ml, mr, se)
 
 
+def test_scatter_tiles_bit_exact():
+    """scatter_tiles mode: per-program bases reproduce the contiguous
+    renderer BIT-exactly, in any tile order (PCG streams are keyed by
+    global pixel id, not by program id)."""
+    import jax.numpy as jnp
+
+    W, H, SPP = 64, 32, 4
+    rn = build_tile_renderer(SCENE, CAM, W, H, SPP, max_bounces=5,
+                             tile_rows=8, interpret=True)
+    rs = build_tile_renderer(SCENE, CAM, W, H, SPP, max_bounces=5,
+                             tile_rows=8, scatter_tiles=True, interpret=True)
+    n_tiles, lanes = rn.num_tiles, rn.lanes_per_tile
+    assert n_tiles >= 2
+    full = np.asarray(rn.make_raw(n_tiles)(jnp.int32(3), jnp.int32(0)))
+    bases = (jnp.arange(n_tiles) * lanes).astype(jnp.int32)
+    scat = np.asarray(rs.make_raw_scatter(n_tiles)(jnp.int32(3), bases))
+    assert np.array_equal(full, scat)
+    rev = np.asarray(rs.make_raw_scatter(n_tiles)(jnp.int32(3), bases[::-1]))
+    assert np.array_equal(full,
+                          rev.reshape(n_tiles, lanes, 3)[::-1].reshape(-1, 3))
+
+
+def test_render_adaptive_unbiased_and_finite():
+    """render_adaptive: finite, right shape, deterministic per seed, and
+    the clamped mean agrees with the plain renderer over a seed ensemble
+    (the count-weighted two-pass combination is unbiased given the
+    allocation)."""
+    W, H, SPP = 64, 32, 4
+    cfg = vpt.RenderConfig(width=W, height=H, spp=SPP, max_bounces=5)
+    a = np.asarray(vpt.render_adaptive(SCENE, CAM, cfg, boost=2.0, frac=0.5,
+                                       interpret=True))
+    assert a.shape == (H, W, 3) and np.isfinite(a).all() and (a >= 0).all()
+    b = np.asarray(vpt.render_adaptive(SCENE, CAM, cfg, boost=2.0, frac=0.5,
+                                       interpret=True))
+    assert np.array_equal(a, b)
+    run = build_tile_renderer(SCENE, CAM, W, H, SPP, max_bounces=5,
+                              interpret=True)
+    am = [float(np.clip(np.asarray(
+        vpt.render_adaptive(SCENE, CAM, cfg, boost=2.0, frac=0.5, seed=s,
+                            interpret=True)), 0, 1).mean())
+        for s in range(6)]
+    rm = [float(np.clip(np.asarray(run(s)), 0, 1).mean()) for s in range(6)]
+    ml, mr = np.mean(am), np.mean(rm)
+    se = np.hypot(np.std(am), np.std(rm)) / np.sqrt(6)
+    assert abs(ml - mr) < 4.0 * se + 0.05 * mr, (ml, mr, se)
+
+
 @pytest.mark.slow
 def test_pallas_equiangular_matches_engine_statistically():
     W, H, SPP = 32, 16, 96

@@ -1,6 +1,7 @@
 """Public API: render, config, inverse rendering."""
+from .adaptive import render_adaptive
 from .config import RenderConfig
 from .render import render, resolve_spec, resolve_tracer, trace_rays
 
-__all__ = ["RenderConfig", "render", "resolve_spec", "resolve_tracer",
-           "trace_rays"]
+__all__ = ["RenderConfig", "render", "render_adaptive", "resolve_spec",
+           "resolve_tracer", "trace_rays"]

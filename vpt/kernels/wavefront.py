@@ -85,6 +85,7 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                         continue_prob: float = 0.6, max_bounces: int = 32,
                         tile_rows: int = 32, jitter: bool = True,
                         sampler: str = "random",
+                        scatter_tiles: bool = False,
                         interpret: bool = False):
     """Build a jitted fn(seed:int32[num_tiles], base:int32[num_tiles])
     -> (num_tiles*R, 128, 3) radiance sums (divide by spp).
@@ -110,6 +111,7 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
     targets."""
     if sampler not in ("random", "ld"):
         raise ValueError(f"unknown sampler {sampler!r}")
+    scatter = bool(scatter_tiles)
     sc = _scene_consts(scene)
     S = len(sc["r"])
     cp = float(continue_prob)
@@ -137,7 +139,13 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
     # ---------------- the kernel ----------------------------------------
     def kernel(seed_ref, base_ref, out_r, out_g, out_b):
         pid = pl.program_id(0)
-        base = base_ref[0] + pid * LANES
+        if scatter:
+            # scatter mode: base_ref holds one base pixel PER program —
+            # an arbitrary set of tiles rendered in one launch (adaptive
+            # sampling's second pass gathers the high-variance tiles)
+            base = base_ref[pid]
+        else:
+            base = base_ref[0] + pid * LANES
         row = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
         pixel = jnp.minimum(base + row * 128 + col, npix - 1)
@@ -551,6 +559,9 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
 
     @jax.jit
     def run(seed):
+        if scatter:
+            raise ValueError(
+                "scatter_tiles=True renderer: use make_raw_scatter")
         seeds = jnp.asarray([seed], jnp.int32)
         base = jnp.asarray([0], jnp.int32)
         return _call(seeds, base, num_tiles)[:npix] / spp
@@ -563,14 +574,35 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
         must be discarded by the caller."""
 
         def raw(seed, base_pixel):
+            if scatter:
+                raise ValueError(
+                    "scatter_tiles=True renderer: use make_raw_scatter")
             return _call(jnp.reshape(seed, (1,)).astype(jnp.int32),
                          jnp.reshape(base_pixel, (1,)).astype(jnp.int32),
                          n_tiles)
 
         return raw
 
+    def make_raw_scatter(n_tiles: int):
+        """Requires scatter_tiles=True. fn(seed i32, bases (n_tiles,) i32)
+        -> (n_tiles*LANES, 3) per-lane radiance SUMS, program i rendering
+        the LANES pixels starting at bases[i] — an arbitrary tile set in
+        one launch (adaptive sampling pass 2)."""
+        if not scatter:
+            raise ValueError("build with scatter_tiles=True first")
+
+        def raw(seed, bases):
+            return _call(jnp.reshape(seed, (1,)).astype(jnp.int32),
+                         jnp.reshape(bases, (n_tiles,)).astype(jnp.int32),
+                         n_tiles)
+
+        return raw
+
     run.make_raw = make_raw
+    run.make_raw_scatter = make_raw_scatter
     run.lanes_per_tile = LANES
+    run.num_tiles = num_tiles
+    run.npix = npix
     return run
 
 
