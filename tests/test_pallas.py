@@ -88,8 +88,8 @@ def test_scatter_tiles_bit_exact():
 def test_render_adaptive_unbiased_and_finite():
     """render_adaptive: finite, right shape, deterministic per seed, and
     the clamped mean agrees with the plain renderer over a seed ensemble
-    (the count-weighted two-pass combination is unbiased given the
-    allocation)."""
+    (the count-weighted combination is unbiased up to the documented
+    two-pass reuse correlation — far below this tolerance)."""
     W, H, SPP = 64, 32, 4
     cfg = vpt.RenderConfig(width=W, height=H, spp=SPP, max_bounces=5)
     a = np.asarray(vpt.render_adaptive(SCENE, CAM, cfg, boost=2.0, frac=0.5,

@@ -10,7 +10,7 @@ Layer map (SURVEY.md §7): core / scene / geometry / sampling / bxdf / media /
 integrators / kernels / dist / api / io / utils.
 """
 from .api.config import RenderConfig
-from .api.adaptive import render_adaptive
+from .api.adaptive import make_adaptive_renderer, render_adaptive
 from .api.render import render, trace_rays
 from .scene.scene import Scene, Medium, SCENES, cornell_vpt, make_scene
 from .scene.camera import Camera, default_camera

@@ -14,34 +14,46 @@ pass 2   the top `frac` tiles by variance render `boost * spp/2` extra
          mode (kernels/wavefront.py: per-program base pixel from SMEM)
 combine  per-pixel sample-count-weighted mean of the pass sums
 
-Unbiasedness: conditional on the tile selection, every sample mean is
-unbiased and the weights equal the true counts, so the combined estimator
-is unbiased given the allocation. Reusing the pass-1 samples in the final
-estimate correlates the allocation with the estimate (the standard
-two-pass adaptive caveat); the alternative — discarding pass 1 — costs
-more than the correlation is worth at these budgets.
+Estimator properties: conditional on the tile selection, every retained
+sample mean is unbiased and the weights equal the true counts. The
+selection itself is driven by the SAME pass-1 samples that stay in the
+estimate, which correlates allocation with the retained values — tiles
+are picked when their A/B draws are extreme, so right-skewed radiance
+gives a small positive bias on selected tiles (Cov((A-B)^2, A+B) =
+2 E[(X-mu)^3] per sample). The selection statistic pools tile_rows*128
+pixels x spp samples, so the per-pixel correlation is diluted by the
+tile's sample count; it vanishes as tiles grow and is invisible next to
+MC noise at practical budgets — but it is NOT exactly zero. For a
+strictly unbiased combination, discard pass 1 from the estimate (not
+offered: it wastes half the budget to remove a O(1/tile_samples) bias).
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..scene.scene import Scene
 
-__all__ = ["render_adaptive"]
+__all__ = ["make_adaptive_renderer", "render_adaptive"]
 
 
-def render_adaptive(scene: Scene, camera, cfg, *, boost: float = 3.0,
-                    frac: float = 0.25, seed: int | None = None,
-                    interpret: bool = False) -> jnp.ndarray:
-    """Render (H, W, 3) with cfg.spp base samples per pixel plus
-    boost*cfg.spp/2 extra samples on the highest-variance `frac` of tiles.
-    cfg.integrator must be a fused-kernel integrator
-    (kernels.wavefront.PALLAS_INTEGRATORS)."""
+def make_adaptive_renderer(scene: Scene, camera, cfg, *, boost: float = 3.0,
+                           frac: float = 0.25, interpret: bool = False):
+    """Build go(seed:int32) -> (H, W, 3). Building compiles two kernels
+    (full-frame at spp/2 and the scatter pass); reuse the returned
+    callable across seeds/frames to render compile-free.
+
+    The base pass renders 2*(cfg.spp//2) samples per pixel (cfg.spp must
+    be even and >= 2 — the A/B halves must be equal); the top `frac` of
+    tiles get round(boost*spp/2) extra samples."""
     from ..kernels import wavefront as wf
 
+    if cfg.spp < 2 or cfg.spp % 2:
+        raise ValueError(f"adaptive sampling needs even spp >= 2 "
+                         f"(A/B halves), got {cfg.spp}")
     nee, distance = wf.PALLAS_INTEGRATORS[cfg.integrator]
-    half = max(cfg.spp // 2, 1)
+    half = cfg.spp // 2
     kw = dict(nee=nee, distance=distance, continue_prob=cfg.continue_prob,
               max_bounces=cfg.max_bounces, jitter=cfg.jitter,
               sampler=getattr(cfg, "sampler", "random"))
@@ -59,6 +71,11 @@ def render_adaptive(scene: Scene, camera, cfg, *, boost: float = 3.0,
                                   interpret=interpret)
     raw2 = run2.make_raw_scatter(k)
     valid = (jnp.arange(n_tiles * lanes) < npix)[:, None]
+    # real (non-padding) lanes per tile: the last tile may be partial and
+    # its variance must not be diluted by the zeroed padding lanes
+    real = np.minimum(np.maximum(npix - np.arange(n_tiles) * lanes, 1),
+                      lanes).astype(np.float32)
+    inv_real = jnp.asarray(1.0 / real)
 
     @jax.jit
     def go(s):
@@ -66,17 +83,27 @@ def render_adaptive(scene: Scene, camera, cfg, *, boost: float = 3.0,
         b = raw1(s * 2 + 1, jnp.int32(0))
         resid = jnp.where(valid, (a - b) * (1.0 / half), 0.0)
         var = jnp.sum(resid * resid, axis=-1).reshape(n_tiles, lanes)
-        var = jnp.mean(var, axis=-1)           # per-tile variance proxy
+        var = jnp.sum(var, axis=-1) * inv_real  # per-tile variance proxy
         _, sel = jax.lax.top_k(var, k)
         bases = (sel * lanes).astype(jnp.int32)
         extra = raw2(s * 2 + 0x5E11, bases)    # (k*lanes, 3) sums
         sums = (a + b).reshape(n_tiles, lanes, 3)
-        counts = jnp.full((n_tiles, 1, 1), 2.0 * half, jnp.float32)
         sums = sums.at[sel].add(extra.reshape(k, lanes, 3))
-        counts = counts + jnp.zeros((n_tiles, lanes, 1)).at[sel].add(
-            float(spp2))
+        counts = jnp.full((n_tiles, 1, 1), 2.0 * half,
+                          jnp.float32).at[sel].add(float(spp2))
         img = (sums / counts).reshape(n_tiles * lanes, 3)[:npix]
         return img.reshape(cfg.height, cfg.width, 3)
 
+    return go
+
+
+def render_adaptive(scene: Scene, camera, cfg, *, boost: float = 3.0,
+                    frac: float = 0.25, seed: int | None = None,
+                    interpret: bool = False) -> jnp.ndarray:
+    """One-shot adaptive render (builds + compiles the kernels each call —
+    use make_adaptive_renderer for repeated frames). cfg.integrator must
+    be a fused-kernel integrator (kernels.wavefront.PALLAS_INTEGRATORS)."""
+    go = make_adaptive_renderer(scene, camera, cfg, boost=boost, frac=frac,
+                                interpret=interpret)
     s = cfg.seed if seed is None else seed
     return go(jnp.asarray(s, jnp.int32))

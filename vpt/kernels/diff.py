@@ -182,20 +182,12 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                       jnp.where(valid, gbar_b[:], 0.0) * (1.0 / spp)]
 
             if sampler == "ld":
-                # R5 Kronecker + per-pixel CP offsets (kernels/wavefront.py
-                # rationale); identical in the grads=True replay
-                A1, A2, A3, A4, A5 = (0.8812714616335696, 0.7766393890897682,
-                                      0.6844301295853426, 0.6031687406857282,
-                                      0.5315553977157913)
-                rng_off = pr.Pcg(pr.pcg_seed(
-                    lane ^ jnp.int32(0x2545F491),
-                    seed_ref[0] + jnp.int32(747796405)))
-                off_u, off_v, off_w = rng_off(), rng_off(), rng_off()
-                off_r, off_p = rng_off(), rng_off()
-
-                def _strat(a, off, s_f):
-                    x = a * s_f + off
-                    return x - jnp.floor(x)
+                # shared LD machinery (prims.py); identical in the
+                # grads=True replay
+                A1, A2, A3, A4, A5 = pr.LD_ALPHA
+                off_u, off_v, off_w, off_r, off_p = pr.ld_offsets(
+                    lane, seed_ref[0])
+                _strat = pr.ld_strat
 
             def camera_ray(rng, samples):
                 if sampler == "ld" and jitter:

@@ -64,7 +64,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..scene.scene import Scene
 from . import dual as du
-from .prims import BIG, INV_4PI, TWO_PI, Pcg, pcg_seed
+from .prims import (BIG, INV_4PI, LD_ALPHA, TWO_PI, Pcg,
+                    ld_offsets, ld_strat, pcg_seed)
 from .wavefront import _scene_consts
 
 __all__ = ["make_geom_renderer", "pack_theta"]
@@ -192,23 +193,14 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
         z = jnp.zeros((R, 128), jnp.float32)
 
         if sampler == "ld":
-            # R5 Kronecker + per-pixel CP offsets (kernels/wavefront.py
-            # rationale). For the FD substrate (primal_only) this also
-            # cuts the CRN secant's variance: the strata are FIXED across
-            # the theta+-h probes, so the first-segment sampling noise
-            # cancels even more exactly.
-            A1, A2, A3, A4, A5 = (0.8812714616335696, 0.7766393890897682,
-                                  0.6844301295853426, 0.6031687406857282,
-                                  0.5315553977157913)
-            rng_off = Pcg(pcg_seed(
-                lane ^ jnp.int32(0x2545F491),
-                seed_ref[0] + jnp.int32(747796405)))
-            off_u, off_v, off_w = rng_off(), rng_off(), rng_off()
-            off_r, off_p = rng_off(), rng_off()
-
-            def _strat(a, off, s_f):
-                x = a * s_f + off
-                return x - jnp.floor(x)
+            # shared LD machinery (prims.py). For the FD substrate
+            # (primal_only) this also cuts the CRN secant's variance: the
+            # strata are FIXED across the theta+-h probes, so the
+            # first-segment sampling noise cancels even more exactly.
+            A1, A2, A3, A4, A5 = LD_ALPHA
+            off_u, off_v, off_w, off_r, off_p = ld_offsets(
+                lane, seed_ref[0])
+            _strat = ld_strat
 
         # --- dual <-> flat carry helpers -------------------------------
         def mats(x):

@@ -64,6 +64,33 @@ def pcg_seed(lane, seed):
     return s * jnp.int32(747796405) + jnp.int32(-1403630843)
 
 
+# ---- low-discrepancy sampler (sampler="ld"), shared by all three fused
+# kernels (wavefront/diff/geom). ONE definition: the cross-kernel
+# contracts (geom primal == wavefront forward draw-for-draw; CRN strata
+# fixed across FD probes) require the constants and the offset-stream
+# derivation to stay bit-identical everywhere.
+#
+# R5 Kronecker sequence: a_i = 1/g^i for the generalized plastic number g
+# solving x^6 = x + 1. Dims: pixel u, pixel v, depth-0 distance, depth-0
+# RR, depth-0 light pick.
+LD_ALPHA = (0.8812714616335696, 0.7766393890897682, 0.6844301295853426,
+            0.6031687406857282, 0.5315553977157913)
+
+
+def ld_offsets(lane, seed):
+    """Per-pixel Cranley-Patterson rotation offsets (5 uniforms) from a
+    PCG stream decorrelated from the path stream."""
+    rng_off = Pcg(pcg_seed(lane ^ jnp.int32(0x2545F491),
+                           seed + jnp.int32(747796405)))
+    return rng_off(), rng_off(), rng_off(), rng_off(), rng_off()
+
+
+def ld_strat(a, off, s_f):
+    """Stratified uniform: frac(a * sample_index + offset)."""
+    x = a * s_f + off
+    return x - jnp.floor(x)
+
+
 def dot3(a, b):
     return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
 

@@ -153,26 +153,15 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
         py = (height - 1 - pixel // width).astype(jnp.float32)
 
         if sampler == "ld":
-            # R5 Kronecker sequence (1/g..1/g^5 for the generalized plastic
-            # number g: x^6 = x + 1) + per-pixel Cranley-Patterson offsets
-            # from a PCG stream decorrelated from the path stream. Dims:
-            # pixel u, pixel v, depth-0 distance, depth-0 RR (the 1-cp kill
-            # is the largest single Bernoulli variance source — stratified,
-            # exactly ~q*spp of a pixel's samples die instead of a binomial
-            # draw), depth-0 light pick.
-            A1, A2, A3, A4, A5 = (0.8812714616335696, 0.7766393890897682,
-                                  0.6844301295853426, 0.6031687406857282,
-                                  0.5315553977157913)
+            # shared LD machinery (prims.py): depth-0 RR stratification is
+            # the big win — the 1-cp kill is the largest single Bernoulli
+            # variance source, and stratified, exactly ~q*spp of a pixel's
+            # samples die instead of a binomial draw
+            A1, A2, A3, A4, A5 = pr.LD_ALPHA
             lane_ = base + row * 128 + col
-            rng_off = pr.Pcg(pr.pcg_seed(
-                lane_ ^ jnp.int32(0x2545F491),
-                seed_ref[0] + jnp.int32(747796405)))
-            off_u, off_v, off_w = rng_off(), rng_off(), rng_off()
-            off_r, off_p = rng_off(), rng_off()
-
-            def _strat(a, off, s_f):
-                x = a * s_f + off
-                return x - jnp.floor(x)
+            off_u, off_v, off_w, off_r, off_p = pr.ld_offsets(
+                lane_, seed_ref[0])
+            _strat = pr.ld_strat
 
         def camera_ray(rng, samples):
             if sampler == "ld" and jitter:
