@@ -42,6 +42,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sampler", default="random", choices=["random", "ld"],
                    help="ld: low-discrepancy first-5-dim stratification "
                         "(unbiased, lower MSE, faster; pallas renderer)")
+    p.add_argument("--adaptive", action="store_true",
+                   help="two-pass variance-guided adaptive sampling "
+                        "(fused-kernel integrators; spp must be even)")
+    p.add_argument("--adaptive-boost", type=float, default=3.0,
+                   help="extra samples on hot tiles = boost*spp/2")
+    p.add_argument("--adaptive-frac", type=float, default=0.25,
+                   help="fraction of tiles that get the boost pass")
     p.add_argument("-o", "--output", default="image.ppm")
     p.add_argument("--sharded", action="store_true",
                    help="render over all local devices via the (data,sample) mesh")
@@ -95,6 +102,13 @@ def main(argv=None) -> int:
     elif args.sharded:
         from vpt.dist import make_mesh, render_sharded
         img = np.asarray(render_sharded(scene, camera, cfg, make_mesh()))
+    elif args.adaptive:
+        import jax
+        img = np.asarray(vpt.render_adaptive(
+            scene, camera, cfg, boost=args.adaptive_boost,
+            frac=args.adaptive_frac,
+            # Mosaic kernels need real TPU hardware; interpret elsewhere
+            interpret=jax.default_backend() not in ("tpu", "axon")))
     else:
         img = np.asarray(vpt.render(scene, camera, cfg))
     elapsed = time.time() - t0
