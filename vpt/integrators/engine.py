@@ -89,6 +89,34 @@ class IntegratorSpec:
     # The estimator VALUE is unchanged; its sigma-gradient becomes the
     # unbiased pathwise+score estimator E[dV + V dlog p].
     sigma_score: bool = False
+    # Textbook-unbiased estimator mode (NOT in the reference). Two reference
+    # quirks bias its estimators away from the transport equation, both
+    # reproduced faithfully when physical=False:
+    #  1. Terminal Russian-roulette factor: RR runs at the top of every
+    #     iteration (vptShadeMethods.h:951-953, 1282) and the 1/continueprob
+    #     compensation is applied only to CONTINUATION weights
+    #     (:995, 1006, 1330), never to the iteration's own emitter-hit
+    #     credit (:981-983, 1308-1313) — so every emitter-hit contribution
+    #     is scaled by one uncompensated factor of cp. (NEE contributions
+    #     DO carry the 1/continueprob, :1330-1334, so only directly-visible
+    #     emitters render cp-dark in explicit mode; in implicit mode the
+    #     whole image does.)
+    #  2. The implicit FREE-FLIGHT medium weight divides by
+    #     pSuccess = ffProb(d) * (1 - TrActual) (vptShadeMethods.h:977,
+    #     1006) as though the distance had been drawn from the truncated
+    #     exponential — but d is drawn unconditionally and the medium event
+    #     IS d < t, so the (1 - TrActual) division double-counts: each
+    #     medium bounce contributes E[w * 1{d<t}] = 1/cp * 1/(1)… i.e. the
+    #     estimator's expected value gains ~E[Tr_k] per bounce and grows
+    #     with max_bounces in enclosed scenes (the white-furnace test pins
+    #     this). The equi-angular implicit weight is NOT affected: there
+    #     the surface/medium choice is a genuine independent Bernoulli
+    #     (:872-880), so its (1 - TrActual) division is correct.
+    # physical=True restores the textbook estimator: emitter-hit credits
+    # are weighted 1/cp, and the implicit free-flight medium weight uses
+    # the PBRT cancellation sigma_s*T/(cp*ffProb) = (sigma_s/sigma_t)/cp.
+    # Validated against closed forms in tests/test_furnace.py.
+    physical: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -227,9 +255,12 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
         credit = em_hit & (depth_v == 0)
     else:
         credit = em_hit
+    # physical mode compensates the iteration's own RR survival (quirk 1 on
+    # IntegratorSpec.physical); the reference credits without it
+    credit_w = (1.0 / cp) if spec.physical else 1.0
     L = st.L + jnp.where(
         (alive & credit)[:, None], scene.radiance[obj_id] * st.tp, 0.0
-    ) * w_sc
+    ) * (w_sc * credit_w)
     shade = alive & surface_event & ~em_hit
 
     if spec.nee:
@@ -294,6 +325,11 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
             L = L + jnp.where(
                 medium[:, None], ld_med * st.tp * (albedo_ratio / cp), 0.0
             ) * w_sc
+            tp_medium = st.tp * (albedo_ratio / cp)
+        elif spec.physical:
+            # textbook weight: the medium event IS d < t under the full
+            # exponential, so sigma_s*T/ffProb cancels to sigma_s/sigma_t
+            # (quirk 2 on IntegratorSpec.physical)
             tp_medium = st.tp * (albedo_ratio / cp)
         else:
             # implicit free: sigma_s * T / (cp * ffProb * (1 - Tr))

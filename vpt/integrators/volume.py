@@ -47,6 +47,14 @@ VOLUME_INTEGRATORS: dict[str, IntegratorSpec] = {
     "iterative_vpt_free": IntegratorSpec(distance=FREE, nee=True),
     "explicit_free_all_lights": IntegratorSpec(
         distance=FREE, nee=True, nee_all_lights=True),
+    # Textbook-unbiased modes (no reference counterpart — see the `physical`
+    # knob on IntegratorSpec for the two reference quirks they remove).
+    # Validated against closed-form shell/furnace scenes in
+    # tests/test_furnace.py.
+    "implicit_free_physical": IntegratorSpec(
+        distance=FREE, nee=False, physical=True),
+    "explicit_free_physical": IntegratorSpec(
+        distance=FREE, nee=True, physical=True),
 }
 
 ALL_VOLUME_NAMES = tuple(VOLUME_INTEGRATORS) + tuple(LEGACY_INTEGRATORS)
