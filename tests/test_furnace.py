@@ -135,3 +135,18 @@ def test_fused_kernel_absorbing_shell_closed_form():
     img = np.asarray(run(0)).reshape(H, W, 3)
     ratio = img.reshape(-1, 3).mean(0) / WANT_A
     np.testing.assert_allclose(ratio, 1.0, rtol=0.03)
+
+
+@pytest.mark.slow
+def test_fused_kernel_physical_mode_at_rr():
+    """physical=True in the kernel: the credit's 1/cp compensation must
+    cancel the cp<1 terminal-RR factor back to the closed form."""
+    from vpt.kernels.wavefront import build_tile_renderer
+
+    W = H = 16
+    run = build_tile_renderer(SHELL_ABS, CAM, W, H, 192, nee=False,
+                              max_bounces=8, continue_prob=0.6,
+                              physical=True, tile_rows=2, interpret=True)
+    img = np.asarray(run(0)).reshape(H, W, 3)
+    ratio = img.reshape(-1, 3).mean(0) / WANT_A
+    np.testing.assert_allclose(ratio, 1.0, rtol=0.05)

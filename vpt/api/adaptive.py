@@ -52,9 +52,10 @@ def make_adaptive_renderer(scene: Scene, camera, cfg, *, boost: float = 3.0,
     if cfg.spp < 2 or cfg.spp % 2:
         raise ValueError(f"adaptive sampling needs even spp >= 2 "
                          f"(A/B halves), got {cfg.spp}")
-    nee, distance = wf.PALLAS_INTEGRATORS[cfg.integrator]
+    nee, distance, physical = wf.PALLAS_INTEGRATORS[cfg.integrator]
     half = cfg.spp // 2
-    kw = dict(nee=nee, distance=distance, continue_prob=cfg.continue_prob,
+    kw = dict(nee=nee, distance=distance, physical=physical,
+              continue_prob=cfg.continue_prob,
               max_bounces=cfg.max_bounces, jitter=cfg.jitter,
               sampler=getattr(cfg, "sampler", "random"))
     run1 = wf.build_tile_renderer(scene, camera, cfg.width, cfg.height,

@@ -35,7 +35,7 @@ def build_sharded_pallas(scene: Scene, camera, cfg, mesh: Mesh,
     mesh. cfg.integrator must be in kernels.wavefront.PALLAS_INTEGRATORS."""
     from ..kernels import wavefront as wf
 
-    nee, distance = wf.PALLAS_INTEGRATORS[cfg.integrator]
+    nee, distance, physical = wf.PALLAS_INTEGRATORS[cfg.integrator]
     n_data = mesh.shape[DATA_AXIS]
     n_sample = mesh.shape[SAMPLE_AXIS]
     if cfg.spp % n_sample:
@@ -46,7 +46,8 @@ def build_sharded_pallas(scene: Scene, camera, cfg, mesh: Mesh,
 
     run = wf.build_tile_renderer(
         scene, camera, cfg.width, cfg.height, spp_local,
-        nee=nee, distance=distance, continue_prob=cfg.continue_prob,
+        nee=nee, distance=distance, physical=physical,
+        continue_prob=cfg.continue_prob,
         max_bounces=cfg.max_bounces, jitter=cfg.jitter,
         sampler=getattr(cfg, "sampler", "random"), interpret=interpret,
     )

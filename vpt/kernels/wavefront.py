@@ -86,6 +86,7 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                         tile_rows: int = 32, jitter: bool = True,
                         sampler: str = "random",
                         scatter_tiles: bool = False,
+                        physical: bool = False,
                         interpret: bool = False):
     """Build a jitted fn(seed:int32[num_tiles], base:int32[num_tiles])
     -> (num_tiles*R, 128, 3) radiance sums (divide by spp).
@@ -418,8 +419,11 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
             em_hit = surface & at["is_em"]
             credit = alive & em_hit & (depth == 0) if nee else alive & em_hit
             rad = [at["rr"], at["rg"], at["rb"]]
+            # physical mode compensates the iteration's own RR survival
+            # (engine.IntegratorSpec.physical, quirk 1); reference: bare
+            credit_w = inv_cp if physical else 1.0
             for i in range(3):
-                L[i] = L[i] + jnp.where(credit, rad[i] * tp[i], 0.0)
+                L[i] = L[i] + jnp.where(credit, rad[i] * tp[i] * credit_w, 0.0)
             shade = alive & surface & ~em_hit
 
             if nee:
@@ -448,6 +452,11 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                     for i in range(3):
                         L[i] = L[i] + jnp.where(
                             medium, ld_med[i] * tp[i] * med_c, 0.0)
+                    tp_medium = [tp[i] * (albedo_ratio * inv_cp)
+                                 for i in range(3)]
+                elif physical:
+                    # textbook weight (engine.IntegratorSpec.physical,
+                    # quirk 2): sigma_s*T/ffProb = sigma_s/sigma_t
                     tp_medium = [tp[i] * (albedo_ratio * inv_cp)
                                  for i in range(3)]
                 else:
@@ -595,24 +604,27 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
     return run
 
 
-# integrator name -> (nee, distance) for the kernel's supported subset
+# integrator name -> (nee, distance, physical) for the kernel's supported
+# subset (physical: the textbook-unbiased modes, engine.IntegratorSpec)
 PALLAS_INTEGRATORS = {
-    "explicit_free": (True, "free"),
-    "iterative_vpt_free": (True, "free"),
-    "implicit_free": (False, "free"),
-    "explicit_equiangular": (True, "equiangular"),
-    "mis_hybrid": (True, "equiangular"),
-    "implicit_equiangular": (False, "ea_clamped"),
+    "explicit_free": (True, "free", False),
+    "iterative_vpt_free": (True, "free", False),
+    "implicit_free": (False, "free", False),
+    "explicit_equiangular": (True, "equiangular", False),
+    "mis_hybrid": (True, "equiangular", False),
+    "implicit_equiangular": (False, "ea_clamped", False),
+    "explicit_free_physical": (True, "free", True),
+    "implicit_free_physical": (False, "free", True),
 }
 
 
 def render_pallas(scene: Scene, camera, cfg, seed: int | None = None,
                   interpret: bool = False):
     """Render with the fused Pallas kernel; returns (H, W, 3)."""
-    nee, distance = PALLAS_INTEGRATORS[cfg.integrator]
+    nee, distance, physical = PALLAS_INTEGRATORS[cfg.integrator]
     run = build_tile_renderer(
         scene, camera, cfg.width, cfg.height, cfg.spp,
-        nee=nee, distance=distance,
+        nee=nee, distance=distance, physical=physical,
         continue_prob=cfg.continue_prob, max_bounces=cfg.max_bounces,
         jitter=cfg.jitter, sampler=getattr(cfg, "sampler", "random"),
         interpret=interpret,
