@@ -110,3 +110,65 @@ def test_seed_matched_paths_bit_near_exact(lib):
     assert nonzero >= 3000, f"only {nonzero} non-zero paths — weak coverage"
     print(f"seed-matched paths: {checked} checked, {nonzero} non-zero, "
           f"max rel err {max_rel:.3e}")
+
+
+@pytest.mark.slow
+def test_seed_matched_paths_equiangular(lib):
+    """Same seed-matched whole-path parity for the EQUI-ANGULAR family:
+    explicitVPTracerRecursive (vptShadeMethods.h:1014-1149) vs the
+    recursive replay (core/replay.explicit_vpt_recursive). Exercises
+    equiAngularParams2/Prob, the event Bernoulli, singleScattering and the
+    depth>0 emitter-kill quirk draw-for-draw."""
+    from vpt.core.replay import Draws, ReplayTracer
+    from vpt.scene.scene import CORNELL_VPT_SPHERES
+
+    lib.probe_explicit_ea.argtypes = lib.probe_iterative_free.argtypes
+    tracer = ReplayTracer.from_spheres(CORNELL_VPT_SPHERES)
+    rng = np.random.default_rng(1234)
+
+    w, h = 1024, 768
+    cam_o = np.array([0.0, 11.2, 214.0])
+    cam_d = np.array([0.0, -0.042612, -1.0])
+    cam_d = cam_d / np.linalg.norm(cam_d)
+    cx = np.array([w * 0.5095 / h, 0.0, 0.0])
+    cy = np.cross(cx, cam_d)
+    cy = cy / np.linalg.norm(cy) * 0.5095
+
+    n_paths = 8000
+    out = np.zeros(3)
+    max_rel = 0.0
+    checked = nonzero = 0
+    for k in range(n_paths):
+        px, py = rng.uniform(0, w), rng.uniform(0, h)
+        d = cx * (px / w - 0.5) + cy * (py / h - 0.5) + cam_d
+        d = d / np.linalg.norm(d)
+        us = rng.uniform(size=4096)
+
+        lib.set_draws(_dp(us), len(us))
+        lib.probe_explicit_ea(_dp(cam_o), _dp(d), 0.001, 0.009, _dp(out))
+        used_ref = lib.draws_used()
+        if used_ref > len(us):
+            continue
+
+        draws = Draws(us)
+        ours = np.asarray(tracer.explicit_vpt_recursive(
+            cam_o, d, 0.001, 0.009, draws))
+        assert draws.used == used_ref, (
+            f"path {k}: draw counts diverge (ours {draws.used}, "
+            f"reference {used_ref})")
+        ref = out.copy()
+        finite = np.isfinite(ref)
+        assert np.array_equal(finite, np.isfinite(ours)), (k, ours, ref)
+        if finite.any():
+            scale = max(np.abs(ref[finite]).max(), 1e-30)
+            rel = np.abs(ours[finite] - ref[finite]).max() / scale
+            max_rel = max(max_rel, rel)
+            assert rel <= 1e-10, (k, ours, ref, rel)
+        checked += 1
+        if np.abs(ref[finite]).max(initial=0.0) > 0 or not finite.all():
+            nonzero += 1
+
+    assert checked >= 6000, f"only {checked} paths checked"
+    assert nonzero >= 1500, f"only {nonzero} non-zero paths — weak coverage"
+    print(f"EA seed-matched paths: {checked} checked, {nonzero} non-zero, "
+          f"max rel err {max_rel:.3e}")

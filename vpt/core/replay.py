@@ -1,7 +1,8 @@
-"""Seed-matched reference replay: a float64 scalar implementation of the
-ACTIVE estimator (iterativeVPTracerFree, vptShadeMethods.h:1263-1340) that
-consumes uniforms from an injected sequence in the reference's EXACT draw
-order.
+"""Seed-matched reference replay: float64 scalar implementations of the
+ACTIVE estimator (iterativeVPTracerFree, vptShadeMethods.h:1263-1340) and
+the equi-angular explicit estimator (explicitVPTracerRecursive, :1014-1149)
+that consume uniforms from an injected sequence in the reference's EXACT
+draw order.
 
 Why this exists (SURVEY §7.2): whole-path parity against the reference
 binary cannot be asserted statistically with tight tolerances (its racy
@@ -510,6 +511,57 @@ class ReplayTracer:
             Ld = Ls * (1.0 / prob_wl) * (1.0 / prob_source)
         return Ld
 
+    def single_scattering(self, xt, idsource, sigma_t, sigma_s, trans_xt,
+                          prob_source, draws):
+        """singleScattering (volumetricBasicFunctions.h:225-282): the
+        equi-angular twin of freeSingleScattering — same missing-else cone
+        pass after the point branch — with both branches additionally
+        carrying transmitanceXT * sigma_s (:242, :277)."""
+        Ld = _v()
+        if self.r[idsource] == 0:
+            light = self.p[idsource]
+            if self.visibility(light, xt):
+                le = self.rad[idsource] * (1.0 / _dot(light - xt, light - xt))
+                Ls = le * self.transmitance(xt, light, sigma_t) * (1 / (4 * M_PI))
+                Ld = Ls * trans_xt * sigma_s * (1.0 / prob_source)
+        wc = self.p[idsource] - xt
+        wc_mag = math.sqrt(_dot(wc, wc))
+        wc = wc * (1.0 / wc_mag)
+        costheta_max = math.sqrt(
+            1 - self.r[idsource] / wc_mag * (self.r[idsource] / wc_mag))
+        wl = self._solid_angle_dir(wc, costheta_max, draws)
+        prob_wl = self._solid_angle_prob(costheta_max)
+        _, t_hit, id_hit = self.intersect(xt, wl)
+        if idsource == id_hit:
+            le = self.rad[idsource].copy()
+            inter = math.exp(-sigma_t * t_hit)
+            Ls = le * inter * (1 / (4 * M_PI))
+            Ld = Ls * trans_xt * sigma_s * (1.0 / prob_wl) * (1.0 / prob_source)
+        return Ld
+
+    def equi_angular_params2(self, idsource, t_max, o, d, draws):
+        """equiAngularParams2 (volumetricBasicFunctions.h:209-223): pivot
+        projection, one xi draw; C's sqrt(negative) -> NaN preserved (the
+        projection identity can go fractionally negative when the ray
+        points at the light center)."""
+        c = self.p[idsource]
+        diff = c - o
+        diff_norm = math.sqrt(_dot(diff, diff))
+        proj = _dot(diff, d) / _dot(d, d)
+        arg = diff_norm * diff_norm - proj * proj
+        D = math.sqrt(arg) if arg >= 0 else float("nan")
+        theta_a = math.atan2(0.0 - proj, D)
+        theta_b = math.atan2(t_max - proj, D)
+        xi = draws()
+        sample_t = D * math.tan((1 - xi) * theta_a + xi * theta_b)
+        return sample_t + proj, D, theta_a, theta_b, sample_t
+
+    @staticmethod
+    def equi_angular_prob(D, theta_a, theta_b, sample_t):
+        """equiAngularProb (vptSamplingFunctions.h:60-62); fabs is the real
+        double fabs here, not the int-abs quirk."""
+        return D / abs(theta_b - theta_a) / (sample_t * sample_t + D * D)
+
     def isotropic_phase_sample(self, draws):
         xi1, xi2 = draws(), draws()
         theta = math.acos(1 - 2 * xi1)
@@ -572,3 +624,71 @@ class ReplayTracer:
                 stack.append((xt, wi_new, depth + 1,
                               tp * (sigma_s / sigma_t) * (1.0 / cp)))
         return final
+
+    # --- the equi-angular explicit integrator ----------------------------
+    def explicit_vpt_recursive(self, o, d, sigma_a, sigma_s, draws: Draws,
+                               depth: int = 0):
+        """explicitVPTracerRecursive (vptShadeMethods.h:1014-1149): the
+        equi-angular explicit estimator, depth-first in the reference's
+        exact draw order (RR, light pick, EA xi, event Bernoulli, then the
+        branch's MISv2/bdsf or singleScattering/phase draws, then the
+        recursive tail). Quirks preserved: miss keeps id=0 and TrActual=0
+        (so a missing ray always takes the medium branch), depth>0 emitter
+        hits return BLACK for the whole subtree (:1098-1104), and the
+        terminal RR survival is uncompensated on the depth-0 credit."""
+        o = np.asarray(o, np.float64)
+        d = np.asarray(d, np.float64)
+        sigma_t = sigma_a + sigma_s
+        cp = 0.6
+        q = 1 - cp
+        if draws() < q:
+            return _v()
+        hit, t, idx = self.intersect(o, d, id0=0)
+        if not hit:
+            t = np.finfo(np.float32).max          # MAXFLOAT (:1034)
+            tr_actual = 0.0
+        else:
+            tr_actual = self.transmitance(o, o + d * t, sigma_t)
+        xs = o + d * t
+        normal = _norm(xs - self.p[idx])
+
+        arr = [i for i in range(self.S) if (self.rad[i] > 0).any()][:4]
+        count = len(arr)
+        if count == 0:
+            return _v()
+        prob_source = 1.0 / count
+        idsource = arr[int(draws() * count)]
+
+        d_final, D, theta_a, theta_b, sample_t = self.equi_angular_params2(
+            idsource, t, o, d, draws)
+        p_success = (self.equi_angular_prob(D, theta_a, theta_b, sample_t)
+                     * (1.0 - tr_actual))
+
+        if draws() <= tr_actual:
+            if (self.rad[idx] > 0).any():
+                if depth > 0:
+                    return _v()
+                return self.rad[idx].copy()
+            trs = self.transmitance(xs, self.p[idsource], sigma_t)
+            ld_parcial = self.plight(
+                idx, xs, normal, d, self.rad[idsource], self.p[idsource],
+                self.alpha[idx]) * trs * (1.0 / prob_source)
+            ld = self.mis_v2(idx, xs, normal, d, self.alpha[idx],
+                             sigma_t, draws)
+            fs, wi, prob = self.bdsf(d, normal, idx, draws)
+            wi = _norm(wi)
+            cosine = _dot(normal, wi)
+            rec = self.explicit_vpt_recursive(xs, wi, sigma_a, sigma_s,
+                                              draws, depth + 1)
+            return ((ld_parcial + ld) * (1.0 / cp)
+                    + fs * rec * (1.0 / cp) * cosine * (1.0 / prob))
+        else:
+            xt = o + d * d_final
+            T = self.transmitance(o, xt, sigma_t)
+            ld = self.single_scattering(xt, idsource, sigma_t, sigma_s, T,
+                                        prob_source, draws)
+            wi_new = self.isotropic_phase_sample(draws)
+            rec = self.explicit_vpt_recursive(xt, wi_new, sigma_a, sigma_s,
+                                              draws, depth + 1)
+            return (ld * (1.0 / p_success) * (1.0 / cp)
+                    + rec * sigma_s * T * (1.0 / cp) * (1.0 / p_success))
