@@ -120,6 +120,43 @@ def test_reference_implicit_free_diverges_in_enclosed_scattering():
     assert r_hi > r_lo * 1.5, (r_lo, r_hi)      # and grows with the bound
 
 
+def test_equiangular_absorbing_shell_closed_form():
+    """EA family against a per-pixel closed form: camera OFF-center inside
+    the absorbing shell, so every pixel ray's hit distance
+    t(d) = -(o.d) + sqrt((o.d)^2 + R^2 - |o|^2) and the physical answer is
+    Le * exp(-sigma_a * t(d)) per pixel. Exercises equi-angular distance
+    sampling, the surface/medium Bernoulli (engine EQUIANGULAR branch) and
+    the pdf_success wiring — none of which the on-axis tests touch."""
+    from vpt.scene import camera as cam_mod
+    import jax
+
+    W, H, SPP = 16, 12, 256
+    origin = np.array([0.3 * R, 0.1 * R, 0.2 * R], np.float32)
+    look = np.asarray([-0.1, 0.05, -1.0], np.float32)
+    cam = Camera(origin=jnp.asarray(origin),
+                 direction=vm.normalize(jnp.asarray(look)),
+                 fov_scale=jnp.asarray(0.5095, jnp.float32))
+    cfg = vpt.RenderConfig(width=W, height=H, spp=SPP,
+                           integrator="implicit_equiangular", max_bounces=8,
+                           continue_prob=1.0, chunk_pixels=W * H,
+                           renderer="scan", jitter=False)
+    img = np.asarray(vpt.render(SHELL_ABS, cam, cfg)).reshape(-1, 3)
+
+    ids = jnp.arange(W * H, dtype=jnp.int32)
+    o, d = cam_mod.rays_for_pixels(cam, W, H, ids, jax.random.PRNGKey(0),
+                                   jitter=False)
+    o = np.asarray(o, np.float64)
+    d = np.asarray(d, np.float64)
+    od = (o * d).sum(-1)
+    t = -od + np.sqrt(od ** 2 + R ** 2 - (o * o).sum(-1))
+    want = np.asarray(LE_A)[None, :] * np.exp(-SIGMA_A * t)[:, None]
+
+    ratio = (img / want).mean(0)
+    np.testing.assert_allclose(ratio, 1.0, rtol=0.03)
+    # per-pixel: Bernoulli(exp(-a t)) noise only
+    assert np.abs(img / want - 1.0).max() < 0.45
+
+
 @pytest.mark.slow
 def test_fused_kernel_absorbing_shell_closed_form():
     """The fused Pallas kernel (implicit free, cp=1) against the analytic
@@ -135,6 +172,40 @@ def test_fused_kernel_absorbing_shell_closed_form():
     img = np.asarray(run(0)).reshape(H, W, 3)
     ratio = img.reshape(-1, 3).mean(0) / WANT_A
     np.testing.assert_allclose(ratio, 1.0, rtol=0.03)
+
+
+@pytest.mark.slow
+def test_fused_kernel_equiangular_closed_form():
+    """The kernel's clamped-EA branch (implicit_equiangular) against the
+    off-center per-pixel closed form: with sigma_s = 0 only the
+    surface-event Bernoulli credit survives, whose expectation is
+    Le * exp(-sigma_a * t(d)) regardless of the EA distance pdf."""
+    import jax
+    from vpt.kernels.wavefront import build_tile_renderer
+    from vpt.scene import camera as cam_mod
+
+    W = H = 16
+    origin = np.array([0.3 * R, 0.1 * R, 0.2 * R], np.float32)
+    look = np.asarray([-0.1, 0.05, -1.0], np.float32)
+    cam = Camera(origin=jnp.asarray(origin),
+                 direction=vm.normalize(jnp.asarray(look)),
+                 fov_scale=jnp.asarray(0.5095, jnp.float32))
+    run = build_tile_renderer(SHELL_ABS, cam, W, H, 192, nee=False,
+                              distance="ea_clamped", max_bounces=8,
+                              continue_prob=1.0, tile_rows=2, jitter=False,
+                              interpret=True)
+    img = np.asarray(run(0)).reshape(-1, 3)
+
+    ids = jnp.arange(W * H, dtype=jnp.int32)
+    o, d = cam_mod.rays_for_pixels(cam, W, H, ids, jax.random.PRNGKey(0),
+                                   jitter=False)
+    o = np.asarray(o, np.float64)
+    d = np.asarray(d, np.float64)
+    od = (o * d).sum(-1)
+    t = -od + np.sqrt(od ** 2 + R ** 2 - (o * o).sum(-1))
+    want = np.asarray(LE_A)[None, :] * np.exp(-SIGMA_A * t)[:, None]
+    ratio = (img / want).mean(0)
+    np.testing.assert_allclose(ratio, 1.0, rtol=0.04)
 
 
 @pytest.mark.slow
