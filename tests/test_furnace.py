@@ -156,6 +156,16 @@ def test_equiangular_absorbing_shell_closed_form():
     # per-pixel: Bernoulli(exp(-a t)) noise only
     assert np.abs(img / want - 1.0).max() < 0.45
 
+    # the physical variant restores the closed form at cp<1 too (EA's
+    # medium weight is already correct; only the credit needed 1/cp)
+    cfg_p = vpt.RenderConfig(width=W, height=H, spp=SPP,
+                             integrator="implicit_equiangular_physical",
+                             max_bounces=8, continue_prob=0.6,
+                             chunk_pixels=W * H, renderer="scan",
+                             jitter=False)
+    img_p = np.asarray(vpt.render(SHELL_ABS, cam, cfg_p)).reshape(-1, 3)
+    np.testing.assert_allclose((img_p / want).mean(0), 1.0, rtol=0.04)
+
 
 @pytest.mark.slow
 def test_fused_kernel_absorbing_shell_closed_form():
@@ -206,6 +216,30 @@ def test_fused_kernel_equiangular_closed_form():
     want = np.asarray(LE_A)[None, :] * np.exp(-SIGMA_A * t)[:, None]
     ratio = (img / want).mean(0)
     np.testing.assert_allclose(ratio, 1.0, rtol=0.04)
+
+
+@pytest.mark.slow
+def test_diff_kernel_physical_mode():
+    """physical=True in the differentiable kernel pair: the forward matches
+    the closed form at cp<1, and the hand-accumulated radiance gradient
+    stays exact per-seed (img is linear in Le through the credit path, so
+    d mean(img) / d Le_c == mean(img[:, c]) / Le_c / 3 for the same seed)."""
+    import jax
+    from vpt.kernels.diff import make_diff_renderer, pack_params
+
+    W = H = 16
+    render = make_diff_renderer(SHELL_ABS, CAM, W, H, 128, nee=False,
+                                max_bounces=8, continue_prob=0.6,
+                                physical=True, tile_rows=2, interpret=True)
+    params = pack_params(SHELL_ABS)
+    img = np.asarray(render(params, 5))
+    ratio = img.mean(0) / WANT_A
+    np.testing.assert_allclose(ratio, 1.0, rtol=0.05)
+
+    g = jax.grad(lambda p: jnp.mean(render(p, 5)))(params)
+    g_rad = np.asarray(g["radiance"])[0]
+    want_g = img.mean(0) / np.asarray(LE_A) / 3.0
+    np.testing.assert_allclose(g_rad, want_g, rtol=1e-4)
 
 
 @pytest.mark.slow

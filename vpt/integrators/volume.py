@@ -55,6 +55,11 @@ VOLUME_INTEGRATORS: dict[str, IntegratorSpec] = {
         distance=FREE, nee=False, physical=True),
     "explicit_free_physical": IntegratorSpec(
         distance=FREE, nee=True, physical=True),
+    # EA implicit's medium weight is already correct (its surface/medium
+    # choice is a genuine independent Bernoulli) — physical only restores
+    # the terminal-RR credit compensation.
+    "implicit_equiangular_physical": IntegratorSpec(
+        distance=EQUIANGULAR, nee=False, clamped_ea=True, physical=True),
 }
 
 ALL_VOLUME_NAMES = tuple(VOLUME_INTEGRATORS) + tuple(LEGACY_INTEGRATORS)

@@ -92,6 +92,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                        continue_prob: float = 0.6, max_bounces: int = 32,
                        tile_rows: int = 32, jitter: bool = True,
                        sampler: str = "random",
+                       physical: bool = False,
                        interpret: bool = False):
     """Build render(params, seed:int) -> (npix, 3), reverse-differentiable
     w.r.t. params (see module docstring).
@@ -448,8 +449,11 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 credit = (alive & em_hit & (depth == 0) if nee
                           else alive & em_hit)
                 radh = [at["rr"], at["rg"], at["rb"]]
+                # physical mode compensates the iteration's own RR survival
+                # (engine.IntegratorSpec.physical); reference credits bare
+                credit_w = inv_cp if physical else 1.0
                 for i in range(3):
-                    add = jnp.where(credit, radh[i] * tp[i], 0.0)
+                    add = jnp.where(credit, radh[i] * tp[i] * credit_w, 0.0)
                     L[i] = L[i] + add
                     Lps[i] = Lps[i] + add
                 if grads:
@@ -457,7 +461,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                         m = credit & (at["sid"] == e)
                         for i in range(3):
                             acc[f"g_rad_{e}_{i}"] += jnp.where(
-                                m, wt[i] * tp[i], 0.0)
+                                m, wt[i] * tp[i] * credit_w, 0.0)
                 shade = alive & surface & ~em_hit
 
                 if nee:

@@ -96,6 +96,7 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
                        tile_rows: int = 8, jitter: bool = True,
                        sampler: str = "random",
                        primal_only: bool = False,
+                       physical: bool = False,
                        interpret: bool = False):
     """Build render(theta, seed) -> (img (npix,3), tang (K, npix, 3)).
 
@@ -430,7 +431,12 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
                       else alive & em_hit)
             radh = [at["rr"], at["rg"], at["rb"]]
             for i in range(3):
-                L[i] = L[i] + du.where(credit, radh[i] * tp[i], z)
+                add = radh[i] * tp[i]
+                if physical:
+                    # compensate the iteration's own RR survival
+                    # (engine.IntegratorSpec.physical); reference: bare
+                    add = add * (1.0 / cp)
+                L[i] = L[i] + du.where(credit, add, z)
             shade = alive & surface & ~em_hit
 
             if nee:
