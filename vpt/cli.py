@@ -30,8 +30,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=768)
     p.add_argument("--integrator", default="explicit_free")
     p.add_argument("--scene", default="cornell_vpt")
-    p.add_argument("--sigma-a", type=float, default=0.001)  # src/rt.cpp:794
-    p.add_argument("--sigma-s", type=float, default=0.009)
+    p.add_argument("--scene-file", default=None,
+                   help="JSON scene file (vpt.scene.io) — overrides --scene; "
+                        "uses the file's camera/sigma unless flags are given")
+    p.add_argument("--dump-scene", default=None, metavar="FILE",
+                   help="write the resolved scene + camera as JSON and exit")
+    # None sentinels: an unset flag defers to the scene's own medium
+    # (reference defaults 0.001/0.009 for every built-in scene, src/rt.cpp:794)
+    p.add_argument("--sigma-a", type=float, default=None)
+    p.add_argument("--sigma-s", type=float, default=None)
     p.add_argument("--max-bounces", type=int, default=32)
     p.add_argument("--continue-prob", type=float, default=0.6)
     p.add_argument("--seed", type=int, default=0)
@@ -73,16 +80,27 @@ def main(argv=None) -> int:
     from vpt.io.ppm import write_ppm
     from vpt.scene.scene import SCENES
 
-    scene = SCENES[args.scene]()
+    if args.scene_file:
+        scene, file_cam = vpt.load_scene(args.scene_file)
+    else:
+        scene, file_cam = SCENES[args.scene](), None
     import dataclasses as _dc
     from vpt.scene.scene import Medium
     import jax.numpy as jnp
+    sigma_a = (args.sigma_a if args.sigma_a is not None
+               else float(scene.medium.sigma_a))
+    sigma_s = (args.sigma_s if args.sigma_s is not None
+               else float(scene.medium.sigma_s))
     scene = _dc.replace(
         scene,
-        medium=Medium(jnp.asarray(args.sigma_a, scene.radius.dtype),
-                      jnp.asarray(args.sigma_s, scene.radius.dtype)),
+        medium=Medium(jnp.asarray(sigma_a, scene.radius.dtype),
+                      jnp.asarray(sigma_s, scene.radius.dtype)),
     )
-    camera = vpt.default_camera()
+    camera = file_cam if file_cam is not None else vpt.default_camera()
+    if args.dump_scene:
+        vpt.save_scene(args.dump_scene, scene, camera)
+        print(f"wrote {args.dump_scene}")
+        return 0
     cfg = vpt.RenderConfig(
         width=args.width, height=args.height, spp=args.spp,
         integrator=args.integrator, max_bounces=args.max_bounces,
