@@ -120,3 +120,27 @@ def test_write_png_decodes_to_tonemap():
         decoded = np.asarray(PIL.open(path))
     assert np.array_equal(decoded,
                           np.clip(P.tonemap(img), 0, 255).astype(np.uint8))
+
+
+def test_look_at_camera():
+    import numpy as np
+    import vpt
+
+    cam = vpt.look_at((1.0, 2.0, 3.0), (1.0, 2.0, -7.0))
+    np.testing.assert_allclose(np.asarray(cam.direction), [0, 0, -1],
+                               atol=1e-7)
+    assert float(cam.fov_scale) == np.float32(0.5095)
+
+
+def test_image_metrics():
+    import numpy as np
+    from vpt.utils.metrics import mse, psnr, rel_mse
+
+    a = np.zeros((4, 4, 3))
+    b = np.full((4, 4, 3), 0.1)
+    assert abs(mse(a, b) - 0.01) < 1e-12
+    assert abs(psnr(b, b)) == float("inf")
+    assert abs(psnr(a, b) - 20.0) < 1e-9
+    # rel_mse down-weights bright pixels: same absolute error, brighter ref
+    bright = np.full((4, 4, 3), 10.0)
+    assert rel_mse(bright + 0.1, bright) < rel_mse(b + 0.1, b)

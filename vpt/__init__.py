@@ -13,7 +13,7 @@ from .api.config import RenderConfig
 from .api.adaptive import make_adaptive_renderer, render_adaptive
 from .api.render import render, trace_rays
 from .scene.scene import Scene, Medium, SCENES, cornell_vpt, make_scene
-from .scene.camera import Camera, default_camera
+from .scene.camera import Camera, default_camera, look_at
 from .scene.io import save_scene, load_scene
 from .dist import fit  # inverse rendering
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..core import vecmath as vm
 from ..core import rng
 
-__all__ = ["Camera", "default_camera", "primary_rays"]
+__all__ = ["Camera", "default_camera", "look_at", "primary_rays"]
 
 
 @jax.tree_util.register_dataclass
@@ -35,6 +35,20 @@ def default_camera(dtype=jnp.float32) -> Camera:
         origin=jnp.asarray([0.0, 11.2, 214.0], dtype),
         direction=vm.normalize(jnp.asarray([0.0, -0.042612, -1.0], dtype)),
         fov_scale=jnp.asarray(0.5095, dtype),
+    )
+
+
+def look_at(origin, target, fov_scale: float = 0.5095,
+            dtype=jnp.float32) -> Camera:
+    """Camera at `origin` looking at `target` (convenience constructor —
+    the reference hardcodes its one camera at src/rt.cpp:755-759).
+    fov_scale is the reference's 0.5095 screen half-extent factor; the
+    up-vector convention is the same cx/cy basis as screen_basis."""
+    o = jnp.asarray(origin, dtype)
+    return Camera(
+        origin=o,
+        direction=vm.normalize(jnp.asarray(target, dtype) - o),
+        fov_scale=jnp.asarray(fov_scale, dtype),
     )
 
 

@@ -92,3 +92,31 @@ def progress(fraction: float, stream=sys.stderr) -> None:
     """The reference's `\\r%5.2f%%` row meter (src/rt.cpp:771)."""
     stream.write(f"\r{100.0 * fraction:5.2f}%")
     stream.flush()
+
+
+# --- image comparison metrics (no reference counterpart: its validation is
+# visual, SURVEY.md §4) -----------------------------------------------------
+
+def mse(img, ref) -> float:
+    """Mean squared error over linear radiance."""
+    import numpy as np
+    a = np.asarray(img, np.float64)
+    b = np.asarray(ref, np.float64)
+    return float(np.mean((a - b) ** 2))
+
+
+def rel_mse(img, ref, eps: float = 1e-2) -> float:
+    """Relative MSE, (img-ref)^2 / (ref^2 + eps) — the standard
+    brightness-weighted metric for Monte-Carlo renders (bright-pixel noise
+    would otherwise dominate plain MSE)."""
+    import numpy as np
+    a = np.asarray(img, np.float64)
+    b = np.asarray(ref, np.float64)
+    return float(np.mean((a - b) ** 2 / (b * b + eps)))
+
+
+def psnr(img, ref, peak: float = 1.0) -> float:
+    """Peak signal-to-noise ratio in dB over linear radiance."""
+    import math
+    m = mse(img, ref)
+    return float("inf") if m == 0 else 10.0 * math.log10(peak * peak / m)
