@@ -11,6 +11,7 @@ integrators / kernels / dist / api / io / utils.
 """
 from .api.config import RenderConfig
 from .api.adaptive import make_adaptive_renderer, render_adaptive
+from .api.noise import render_to_noise
 from .api.render import render, trace_rays
 from .scene.scene import Scene, Medium, SCENES, cornell_vpt, make_scene
 from .scene.camera import Camera, default_camera, look_at

@@ -49,6 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sampler", default="random", choices=["random", "ld"],
                    help="ld: low-discrepancy first-5-dim stratification "
                         "(unbiased, lower MSE, faster; pallas renderer)")
+    p.add_argument("--target-noise", type=float, default=None, metavar="SE",
+                   help="render batches of --spp until the median per-pixel "
+                        "relative standard error reaches SE (vpt.render_to_noise)")
+    p.add_argument("--max-spp", type=int, default=4096,
+                   help="total spp cap for --target-noise")
     p.add_argument("--adaptive", action="store_true",
                    help="two-pass variance-guided adaptive sampling "
                         "(fused-kernel integrators; spp must be even)")
@@ -120,6 +125,15 @@ def main(argv=None) -> int:
     elif args.sharded:
         from vpt.dist import make_mesh, render_sharded
         img = np.asarray(render_sharded(scene, camera, cfg, make_mesh()))
+    elif args.target_noise is not None:
+        import jax
+        img, spp_used, achieved = vpt.render_to_noise(
+            scene, camera, cfg, target_rel_se=args.target_noise,
+            max_spp=args.max_spp, log=print,
+            interpret=jax.default_backend() not in ("tpu", "axon"))
+        img = np.asarray(img)
+        print(f"render_to_noise: stopped at {spp_used} spp "
+              f"(median rel SE {achieved:.4f})")
     elif args.adaptive:
         import jax
         img = np.asarray(vpt.render_adaptive(
