@@ -129,3 +129,23 @@ def test_medium_attenuates_vs_vacuum():
     a = np.asarray(vpt.render(thin, CAM, cfg)).mean()
     b = np.asarray(vpt.render(thick, CAM, cfg)).mean()
     assert b < a
+
+
+def test_resolve_spec_preserves_all_fields():
+    """resolve_spec once hand-copied a field subset and silently dropped
+    nee_all_lights/physical for the sharded engine path — it must carry
+    every registered spec field, with cfg knobs applied."""
+    from vpt.api.render import resolve_spec
+
+    cfg = vpt.RenderConfig(integrator="implicit_equiangular_physical",
+                           continue_prob=0.7, max_bounces=9)
+    spec = resolve_spec(cfg)
+    assert spec.physical and spec.clamped_ea and not spec.nee
+    assert spec.continue_prob == 0.7 and spec.max_bounces == 9
+
+    spec2 = resolve_spec(vpt.RenderConfig(integrator="explicit_free_all_lights"))
+    assert spec2.nee_all_lights
+
+    import pytest
+    with pytest.raises(ValueError, match="unknown integrator"):
+        resolve_spec(vpt.RenderConfig(integrator="nope"))

@@ -28,21 +28,19 @@ __all__ = ["render", "trace_rays", "resolve_spec", "resolve_tracer"]
 
 def resolve_spec(cfg: RenderConfig) -> engine.IntegratorSpec:
     """Resolve a VOLUME integrator spec (cfg knobs applied). Surface/marcher
-    integrators carry their own fixed parameters — see resolve_tracer."""
-    try:
-        spec = VOLUME_INTEGRATORS[cfg.integrator]
-    except KeyError:
+    integrators carry their own fixed parameters — see resolve_tracer.
+
+    Delegates to resolve_tracer so every registered spec field
+    (nee_all_lights, physical, fixed_light, ...) survives — a hand-copied
+    field list here once silently dropped them."""
+    if cfg.integrator not in VOLUME_INTEGRATORS:
         raise ValueError(
             f"unknown integrator {cfg.integrator!r}; "
             f"available: {sorted(VOLUME_INTEGRATORS)}"
-        ) from None
-    return engine.IntegratorSpec(
-        distance=spec.distance,
-        nee=spec.nee,
-        clamped_ea=spec.clamped_ea,
-        continue_prob=cfg.continue_prob,
-        max_bounces=cfg.max_bounces,
-    )
+        )
+    _, spec, _ = resolve_tracer(cfg.integrator, cfg.continue_prob,
+                                cfg.max_bounces)
+    return spec
 
 
 def resolve_tracer(integrator: str, continue_prob: float, max_bounces: int):

@@ -115,6 +115,7 @@ def main(argv=None) -> int:
     )
 
     t0 = time.time()
+    effective_spp = args.spp          # --target-noise overrides with actual
     if args.checkpoint:
         from vpt.utils.checkpoint import render_progressive
         img = render_progressive(
@@ -132,6 +133,7 @@ def main(argv=None) -> int:
             max_spp=args.max_spp, log=print,
             interpret=jax.default_backend() not in ("tpu", "axon"))
         img = np.asarray(img)
+        effective_spp = spp_used
         print(f"render_to_noise: stopped at {spp_used} spp "
               f"(median rel SE {achieved:.4f})")
     elif args.adaptive:
@@ -146,7 +148,7 @@ def main(argv=None) -> int:
     elapsed = time.time() - t0
 
     write_ppm(args.output, img)
-    n_paths = args.width * args.height * args.spp
+    n_paths = args.width * args.height * effective_spp
     # reference prints "elapsed time: <s>s" (src/rt.cpp:824-827)
     print(f"elapsed time: {elapsed:.5g}s  "
           f"({n_paths / max(elapsed, 1e-9):.3e} paths/s)")

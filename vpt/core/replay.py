@@ -514,9 +514,15 @@ class ReplayTracer:
     def single_scattering(self, xt, idsource, sigma_t, sigma_s, trans_xt,
                           prob_source, draws):
         """singleScattering (volumetricBasicFunctions.h:225-282): the
-        equi-angular twin of freeSingleScattering — same missing-else cone
-        pass after the point branch — with both branches additionally
-        carrying transmitanceXT * sigma_s (:242, :277)."""
+        equi-angular twin of freeSingleScattering — same branch structure,
+        same missing-else cone pass, same draw consumption — with every
+        contribution additionally scaled by transmitanceXT * sigma_s
+        (:242, :277).
+
+        NOT delegated to the free twin times that factor: the reference
+        multiplies `Ls * T * sigma_s * (1/prob)` left-to-right, and this
+        oracle's whole point is reproducing the reference's exact rounding —
+        reassociating the product would cost the last ulp."""
         Ld = _v()
         if self.r[idsource] == 0:
             light = self.p[idsource]

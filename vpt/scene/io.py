@@ -29,14 +29,10 @@ import json
 import jax.numpy as jnp
 import numpy as np
 
-from .camera import Camera, default_camera
+from .camera import Camera
 from .scene import Scene, make_scene
-from ..core import vecmath as vm
 
 __all__ = ["scene_to_dict", "scene_from_dict", "save_scene", "load_scene"]
-
-_FIELDS = ("radius", "center", "albedo", "radiance", "material",
-           "eta", "kappa", "alpha")
 
 
 def scene_to_dict(scene: Scene, camera: Camera | None = None) -> dict:
@@ -96,9 +92,17 @@ def scene_from_dict(d: dict, dtype=jnp.float32):
     camera = None
     if "camera" in d:
         c = d["camera"]
+        # only normalize when the stored direction is NOT already unit to
+        # f32 precision — save_scene writes normalized directions, and
+        # renormalizing them could flip last-ulp bits, breaking the
+        # bit-identical round-trip guarantee
+        raw = np.asarray(c["direction"], np.float64)
+        if abs(float((raw.astype(np.float32).astype(np.float64) ** 2).sum())
+               - 1.0) > 1e-6:
+            raw = raw / np.linalg.norm(raw)
         camera = Camera(
             origin=jnp.asarray(c["origin"], dtype),
-            direction=vm.normalize(jnp.asarray(c["direction"], dtype)),
+            direction=jnp.asarray(raw, dtype),
             fov_scale=jnp.asarray(c.get("fov_scale", 0.5095), dtype),
         )
     return scene, camera

@@ -10,12 +10,14 @@ from __future__ import annotations
 
 import contextlib
 import json
+import math
 import sys
 import time
 
 import numpy as np
 
-__all__ = ["RenderMeter", "profile_trace", "progress"]
+__all__ = ["RenderMeter", "profile_trace", "progress",
+           "mse", "rel_mse", "psnr"]
 
 
 class RenderMeter:
@@ -99,7 +101,6 @@ def progress(fraction: float, stream=sys.stderr) -> None:
 
 def mse(img, ref) -> float:
     """Mean squared error over linear radiance."""
-    import numpy as np
     a = np.asarray(img, np.float64)
     b = np.asarray(ref, np.float64)
     return float(np.mean((a - b) ** 2))
@@ -109,7 +110,6 @@ def rel_mse(img, ref, eps: float = 1e-2) -> float:
     """Relative MSE, (img-ref)^2 / (ref^2 + eps) — the standard
     brightness-weighted metric for Monte-Carlo renders (bright-pixel noise
     would otherwise dominate plain MSE)."""
-    import numpy as np
     a = np.asarray(img, np.float64)
     b = np.asarray(ref, np.float64)
     return float(np.mean((a - b) ** 2 / (b * b + eps)))
@@ -117,6 +117,5 @@ def rel_mse(img, ref, eps: float = 1e-2) -> float:
 
 def psnr(img, ref, peak: float = 1.0) -> float:
     """Peak signal-to-noise ratio in dB over linear radiance."""
-    import math
     m = mse(img, ref)
     return float("inf") if m == 0 else 10.0 * math.log10(peak * peak / m)
