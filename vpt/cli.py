@@ -39,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
     # (reference defaults 0.001/0.009 for every built-in scene, src/rt.cpp:794)
     p.add_argument("--sigma-a", type=float, default=None)
     p.add_argument("--sigma-s", type=float, default=None)
+    p.add_argument("--hg-g", type=float, default=None, metavar="G",
+                   help="Henyey-Greenstein anisotropy in (-1,1); default 0 "
+                        "(isotropic, the reference's only behavior). "
+                        "Engine renderers only")
     p.add_argument("--max-bounces", type=int, default=32)
     p.add_argument("--continue-prob", type=float, default=0.6)
     p.add_argument("--seed", type=int, default=0)
@@ -96,10 +100,13 @@ def main(argv=None) -> int:
                else float(scene.medium.sigma_a))
     sigma_s = (args.sigma_s if args.sigma_s is not None
                else float(scene.medium.sigma_s))
+    g = args.hg_g if args.hg_g is not None else float(
+        jnp.asarray(scene.medium.g))
     scene = _dc.replace(
         scene,
         medium=Medium(jnp.asarray(sigma_a, scene.radius.dtype),
-                      jnp.asarray(sigma_s, scene.radius.dtype)),
+                      jnp.asarray(sigma_s, scene.radius.dtype),
+                      jnp.asarray(g, scene.radius.dtype)),
     )
     camera = file_cam if file_cam is not None else vpt.default_camera()
     if args.dump_scene:

@@ -80,7 +80,7 @@ def apply_params(scene: Scene, camera: cam.Camera, p: dict):
         albedo=p["albedo"],
         radiance=p["radiance"],
         center=p["center"],
-        medium=Medium(p["sigma_a"], p["sigma_s"]),
+        medium=Medium(p["sigma_a"], p["sigma_s"], scene.medium.g),
     )
     camera = dataclasses.replace(
         camera,

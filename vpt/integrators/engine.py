@@ -300,7 +300,12 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
     t_xt = med.transmittance(st.o, xt, sigma_t)
     u_c1, u_c2 = rng.uniform(rng.fold(kb, rng.Tag.NEE_CONE), (2, N), dtype)
     u_p1, u_p2 = rng.uniform(rng.fold(kb, rng.Tag.PHASE), (2, N), dtype)
-    wi_m, _ = med.isotropic_phase_sample(u_p1, u_p2)
+    # HG anisotropy (Medium.g, 0 = the reference's isotropic medium): the
+    # sampler importance-samples the phase exactly, so the continuation
+    # weight phase/pdf stays 1 for any g; at g == 0 the draws reproduce the
+    # isotropic sampler bit-for-bit (media/medium.phase_sample)
+    g_hg = scene.medium.g
+    wi_m, _ = med.phase_sample(st.d, g_hg, u_p1, u_p2)
 
     if spec.distance == FREE:
         albedo_ratio = sigma_s / sigma_t
@@ -316,11 +321,13 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
                         scene, xt, jnp.full((N,), e, jnp.int32), sigma_t,
                         1.0, ue1, ue2,
                         physical_point_nee=spec.physical_point_nee,
+                        d_in=st.d, g=g_hg,
                     )
             else:
                 ld_med = nee_mod.free_single_scattering(
                     scene, xt, idsource, sigma_t, prob_source, u_c1, u_c2,
                     physical_point_nee=spec.physical_point_nee,
+                    d_in=st.d, g=g_hg,
                 )
             L = L + jnp.where(
                 medium[:, None], ld_med * st.tp * (albedo_ratio / cp), 0.0
@@ -350,11 +357,13 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
                         scene, xt, jnp.full((N,), e, jnp.int32), sigma_t,
                         sigma_s, t_xt, 1.0, ue1, ue2,
                         physical_point_nee=spec.physical_point_nee,
+                        d_in=st.d, g=g_hg,
                     )
             else:
                 ld_med = nee_mod.single_scattering(
                     scene, xt, idsource, sigma_t, sigma_s, t_xt, prob_source,
                     u_c1, u_c2, physical_point_nee=spec.physical_point_nee,
+                    d_in=st.d, g=g_hg,
                 )
             L = L + jnp.where(
                 medium[:, None], ld_med * st.tp / (pdf_success * cp)[:, None], 0.0

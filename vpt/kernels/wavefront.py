@@ -46,6 +46,16 @@ from .prims import BIG, F32EPS, INV_4PI, TWO_PI
 __all__ = ["build_tile_renderer", "render_pallas"]
 
 
+def _reject_anisotropy(scene: Scene) -> float:
+    g = float(jnp.asarray(scene.medium.g))
+    if g != 0.0:
+        raise NotImplementedError(
+            f"the fused Pallas kernels are isotropic-only (Medium.g == 0); "
+            f"got g={g}. Use renderer='scan'/'persistent' (the engine "
+            f"volume family supports Henyey-Greenstein anisotropy).")
+    return g
+
+
 def _scene_consts(scene: Scene):
     """Freeze the scene into python-float structure for kernel baking."""
     # everything becomes PYTHON floats/ints: weak-typed constants that fold
@@ -67,6 +77,9 @@ def _scene_consts(scene: Scene):
         "alpha": fl(scene.alpha),
         "sigma_a": float(scene.medium.sigma_a),
         "sigma_s": float(scene.medium.sigma_s),
+        # guard shared by all three fused kernels (diff/geom import this):
+        # they hardcode the isotropic 1/4pi phase in their NEE terms
+        "_g_check": _reject_anisotropy(scene),
         "emitters": tuple(scene.emitter_idx),
         "mis_lights": tuple(scene.mis_light_idx),
     }

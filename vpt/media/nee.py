@@ -89,7 +89,8 @@ def plight(scene: Scene, obj_id, x, n, wray, intensity, light_p, alpha):
 
 
 def _combine_point_sphere(scene: Scene, xt, idsource, sigma_t, u1, u2,
-                          physical_point_nee: bool = False):
+                          physical_point_nee: bool = False,
+                          d_in=None, g=0.0):
     """Reference branch combination incl. the missing-else overwrite: for
     r == 0 sources the point value survives ONLY when the degenerate cone
     ray misses the point sphere (see the quirk note below).
@@ -119,11 +120,19 @@ def _combine_point_sphere(scene: Scene, xt, idsource, sigma_t, u1, u2,
     d_ray = jnp.where(is_point[..., None], -wc_n, wl)
     hit, t, hit_id = geo.nearest_hit(o_ray, d_ray, scene)
 
+    # phase value toward the light (HG anisotropy; g == 0 evaluates to
+    # exactly INV_4PI, preserving the reference's isotropic arithmetic)
+    if d_in is None:
+        phase_pt = phase_sph = med.INV_4PI
+    else:
+        phase_pt = med.hg_phase(vm.dot(d_in, wc_n), g)
+        phase_sph = med.hg_phase(vm.dot(d_in, wl), g)
+
     # point branch (visibility: first hit beyond xt, or nothing hit)
     slack = 1024.0 * float(jnp.finfo(xt.dtype).eps)
     vis_point = (t > wc_mag * (1.0 - slack)) | ~hit
     d2 = jnp.maximum(wc_mag * wc_mag, 1e-20)
-    point = le * (med.transmittance(xt, center, sigma_t) * med.INV_4PI / d2)[..., None]
+    point = le * (med.transmittance(xt, center, sigma_t) * phase_pt / d2)[..., None]
     point = jnp.where(vis_point[..., None], point, 0.0)
     if not physical_point_nee:
         # missing-else overwrite quirk: the reference's cone branch has no `else`
@@ -135,7 +144,7 @@ def _combine_point_sphere(scene: Scene, xt, idsource, sigma_t, u1, u2,
 
     # sphere branch (visibility by id match; Tr over the hit distance)
     vis_sphere = hit & (hit_id == idsource)
-    ls = le * (jnp.exp(-sigma_t * t) * med.INV_4PI)[..., None]
+    ls = le * (jnp.exp(-sigma_t * t) * phase_sph)[..., None]
     sphere = jnp.where(
         vis_sphere[..., None], ls / jnp.maximum(prob_wl, 1e-20)[..., None], 0.0)
 
@@ -144,21 +153,27 @@ def _combine_point_sphere(scene: Scene, xt, idsource, sigma_t, u1, u2,
 
 def single_scattering(scene: Scene, xt, idsource, sigma_t, sigma_s,
                       transmittance_xt, prob_source, u1, u2,
-                      physical_point_nee: bool = False):
+                      physical_point_nee: bool = False,
+                      d_in=None, g=0.0):
     """NEE from a medium point with explicit T * sigma_s weighting — the
-    equi-angular-family estimator (volumetricBasicFunctions.h:225-281)."""
+    equi-angular-family estimator (volumetricBasicFunctions.h:225-281).
+    d_in/g: incoming propagation direction + HG anisotropy (g=0 keeps the
+    reference's isotropic 1/4pi exactly)."""
     ls = _combine_point_sphere(scene, xt, idsource, sigma_t, u1, u2,
-                               physical_point_nee)
+                               physical_point_nee, d_in=d_in, g=g)
     w = jnp.asarray(transmittance_xt * sigma_s / prob_source)
     return ls * w[..., None]
 
 
 def free_single_scattering(scene: Scene, xt, idsource, sigma_t, prob_source,
-                           u1, u2, physical_point_nee: bool = False):
+                           u1, u2, physical_point_nee: bool = False,
+                           d_in=None, g=0.0):
     """NEE from a medium point WITHOUT the T * sigma_s factor — those cancel
     against the free-flight pdf (the PBRT simplification used by the active
-    integrator, volumetricBasicFunctions.h:284-340, vptShadeMethods.h:1248)."""
+    integrator, volumetricBasicFunctions.h:284-340, vptShadeMethods.h:1248).
+    d_in/g: incoming propagation direction + HG anisotropy (g=0 keeps the
+    reference's isotropic 1/4pi exactly)."""
     ls = _combine_point_sphere(scene, xt, idsource, sigma_t, u1, u2,
-                               physical_point_nee)
+                               physical_point_nee, d_in=d_in, g=g)
     inv_p = jnp.asarray(1.0 / prob_source)
     return ls * inv_p[..., None]

@@ -62,6 +62,9 @@ def scene_to_dict(scene: Scene, camera: Camera | None = None) -> dict:
         "sigma_s": float(np.asarray(scene.medium.sigma_s)),
         "spheres": spheres,
     }
+    g = float(np.asarray(scene.medium.g))
+    if g != 0.0:
+        out["g"] = g      # HG anisotropy; omitted when isotropic
     if camera is not None:
         out["camera"] = {
             "origin": list(map(float, np.asarray(camera.origin, np.float64))),
@@ -88,7 +91,8 @@ def scene_from_dict(d: dict, dtype=jnp.float32):
             float(s.get("alpha", 0.0)),
         ))
     scene = make_scene(spheres, sigma_a=float(d.get("sigma_a", 0.001)),
-                       sigma_s=float(d.get("sigma_s", 0.009)), dtype=dtype)
+                       sigma_s=float(d.get("sigma_s", 0.009)),
+                       g=float(d.get("g", 0.0)), dtype=dtype)
     camera = None
     if "camera" in d:
         c = d["camera"]

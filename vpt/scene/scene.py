@@ -29,10 +29,16 @@ VOLUME_BOUNDARY = 3
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Medium:
-    """Homogeneous participating medium (sigma_t = sigma_a + sigma_s)."""
+    """Homogeneous participating medium (sigma_t = sigma_a + sigma_s).
+
+    g: Henyey-Greenstein anisotropy in (-1, 1); 0 (the default, and the
+    reference's only behavior) is isotropic. g != 0 is supported by the
+    engine volume family (media/medium.hg_phase); the fused Pallas kernels
+    are isotropic-only and raise."""
 
     sigma_a: jnp.ndarray
     sigma_s: jnp.ndarray
+    g: jnp.ndarray | float = 0.0
 
     @property
     def sigma_t(self) -> jnp.ndarray:
@@ -84,7 +90,8 @@ class Scene:
             radius=f(self.radius), center=f(self.center), albedo=f(self.albedo),
             radiance=f(self.radiance),
             eta=f(self.eta), kappa=f(self.kappa), alpha=f(self.alpha),
-            medium=Medium(f(self.medium.sigma_a), f(self.medium.sigma_s)),
+            medium=Medium(f(self.medium.sigma_a), f(self.medium.sigma_s),
+                          f(jnp.asarray(self.medium.g))),
         )
 
 
@@ -92,6 +99,7 @@ def make_scene(
     spheres: Sequence[tuple],
     sigma_a: float = 0.001,
     sigma_s: float = 0.009,
+    g: float = 0.0,
     dtype=jnp.float32,
 ) -> Scene:
     """Build a Scene from (radius, center, albedo, radiance, material, eta,
@@ -127,7 +135,8 @@ def make_scene(
         radius=as_(radius), center=as_(center), albedo=as_(albedo),
         radiance=as_(radiance), material=jnp.asarray(material),
         eta=as_(eta), kappa=as_(kappa), alpha=as_(alpha),
-        medium=Medium(jnp.asarray(sigma_a, dtype), jnp.asarray(sigma_s, dtype)),
+        medium=Medium(jnp.asarray(sigma_a, dtype), jnp.asarray(sigma_s, dtype),
+                      jnp.asarray(g, dtype)),
         emitter_idx=emitter_idx, mis_light_idx=mis_light_idx,
         point_idx=point_idx,
     )
