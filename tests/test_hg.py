@@ -122,3 +122,101 @@ def test_fused_kernel_rejects_anisotropy():
                            integrator="explicit_free", chunk_pixels=128)
     img = np.asarray(vpt.render(scene, CAM, cfg))
     assert np.isfinite(img).all()
+
+
+@pytest.mark.slow
+def test_g_grad_statistical_fd():
+    """dL/dg: the score-function estimator (sigma_score=True adds the
+    phase draw's log-density to the path score) vs central finite
+    differences with common random numbers, compared in expectation over K
+    seeds (per-seed FD also moves the sampled directions; both are
+    unbiased estimators of the same derivative)."""
+    import dataclasses
+    import jax
+    from vpt.integrators import engine
+    from vpt.scene import camera as cam
+    from vpt.scene.scene import Medium
+
+    scene0 = vpt.make_scene(g=0.3, **OPEN_FOG)
+    spec = engine.IntegratorSpec(max_bounces=8, sigma_score=True)
+    ids = jnp.arange(512, dtype=jnp.int32)
+
+    def loss(g, key):
+        sc = dataclasses.replace(
+            scene0, medium=Medium(scene0.medium.sigma_a,
+                                  scene0.medium.sigma_s, g))
+        o, d = cam.rays_for_pixels(CAM, 32, 16, ids, key, True)
+        return jnp.mean(engine.trace(sc, spec, o, d, key,
+                                     differentiable=True))
+
+    gfn = jax.jit(jax.grad(loss))
+    lfn = jax.jit(loss)
+    K, eps, g0 = 120, 2e-2, jnp.float32(0.3)
+    gs, fds = [], []
+    for i in range(K):
+        k = jax.random.PRNGKey(900 + i)
+        gs.append(float(gfn(g0, k)))
+        fds.append((float(lfn(g0 + eps, k)) - float(lfn(g0 - eps, k)))
+                   / (2 * eps))
+    g, se_g = np.mean(gs), np.std(gs) / math.sqrt(K)
+    fd, se_fd = np.mean(fds), np.std(fds) / math.sqrt(K)
+    assert np.isfinite(g) and np.isfinite(fd)
+    tol = 4.0 * float(np.hypot(se_g, se_fd)) + 0.05 * abs(fd)
+    assert abs(g - fd) < tol, (g, se_g, fd, se_fd)
+    # and the derivative is real, not zero-vs-zero agreement
+    assert abs(fd) > 3 * se_fd, (fd, se_fd)
+
+
+@pytest.mark.slow
+def test_inverse_rendering_recovers_g():
+    """Recover the HG anisotropy from a rendered target: Adam on g with
+    the A/B-decorrelated residual-times-score gradient (two independent
+    renders per step keep E[(I_A - T) * dI_B/dg] an unbiased gradient of
+    the half-MSE). 0.0 -> ~0.56 against true 0.6 in 60 steps (prototype
+    measured; the score-noise floor leaves ~0.05 wander around the truth)."""
+    import dataclasses
+    import jax
+    import optax
+    from vpt.integrators import engine
+    from vpt.scene import camera as cam
+    from vpt.scene.scene import Medium
+
+    W, H, SPP = 24, 18, 16
+    true_g = 0.6
+    scene0 = vpt.make_scene(g=true_g, **OPEN_FOG)
+    spec = engine.IntegratorSpec(max_bounces=8, sigma_score=True)
+    npix = W * H
+    cfg_t = vpt.RenderConfig(width=W, height=H, spp=128, max_bounces=8,
+                             chunk_pixels=npix, renderer="scan", seed=77)
+    target = jnp.asarray(
+        np.asarray(vpt.render(scene0, CAM, cfg_t)).reshape(npix, 3))
+    ids = jnp.arange(npix, dtype=jnp.int32)
+
+    def render_g(g, key):
+        sc = dataclasses.replace(scene0, medium=Medium(
+            scene0.medium.sigma_a, scene0.medium.sigma_s, g))
+        acc = 0.0
+        for s in range(SPP):
+            k = jax.random.fold_in(key, s)
+            o, d = cam.rays_for_pixels(CAM, W, H, ids, k, True)
+            acc = acc + engine.trace(sc, spec, o, d, k, differentiable=True)
+        return acc / SPP
+
+    def loss(g, kA, kB):
+        rA = jax.lax.stop_gradient(render_g(g, kA))
+        rB = render_g(g, kB)
+        return jnp.mean((rA - target) * rB)
+
+    gfn = jax.jit(jax.grad(loss))
+    opt = optax.adam(5e-2)
+    g = jnp.asarray(0.0, jnp.float32)
+    st = opt.init(g)
+    hist = []
+    key = jax.random.PRNGKey(5)
+    for i in range(60):
+        kA, kB = jax.random.split(jax.random.fold_in(key, i))
+        up, st = opt.update(gfn(g, kA, kB), st)
+        g = jnp.clip(g + up, -0.95, 0.95)
+        hist.append(float(g))
+    recovered = float(np.mean(hist[-10:]))
+    assert abs(recovered - true_g) < 0.2, recovered

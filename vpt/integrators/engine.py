@@ -33,6 +33,7 @@ carries the gradient.
 from __future__ import annotations
 
 import dataclasses
+import math
 
 import jax
 import jax.numpy as jnp
@@ -306,6 +307,18 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
     # isotropic sampler bit-for-bit (media/medium.phase_sample)
     g_hg = scene.medium.g
     wi_m, _ = med.phase_sample(st.d, g_hg, u_p1, u_p2)
+    if spec.sigma_score:
+        # LR (score-function) term for the phase draw, making dL/dg unbiased
+        # the same way the distance terms make dL/dsigma unbiased: the
+        # sampled direction is DETACHED (no reparameterized gradient through
+        # the HG inversion) and log p(cos | g) joins the path's score. Added
+        # AFTER this bounce's w_sc was formed — the phase draw only
+        # influences FUTURE contributions. Exactly zero at g == 0.
+        wi_m = jax.lax.stop_gradient(wi_m)
+        cos_det = jax.lax.stop_gradient(vm.dot(st.d, wi_m))
+        phase_s = jnp.log(jnp.maximum(
+            med.hg_phase(cos_det, g_hg), 1e-30) * (4.0 * math.pi))
+        score = score + jnp.where(medium, phase_s, 0.0)
 
     if spec.distance == FREE:
         albedo_ratio = sigma_s / sigma_t
