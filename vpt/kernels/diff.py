@@ -449,19 +449,23 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 credit = (alive & em_hit & (depth == 0) if nee
                           else alive & em_hit)
                 radh = [at["rr"], at["rg"], at["rb"]]
-                # physical mode compensates the iteration's own RR survival
-                # (engine.IntegratorSpec.physical); reference credits bare
-                credit_w = inv_cp if physical else 1.0
                 for i in range(3):
-                    add = jnp.where(credit, radh[i] * tp[i] * credit_w, 0.0)
+                    add = radh[i] * tp[i]
+                    if physical:
+                        # compensate the iteration's own RR survival
+                        # (engine.IntegratorSpec.physical); reference: bare
+                        add = add * inv_cp
+                    add = jnp.where(credit, add, 0.0)
                     L[i] = L[i] + add
                     Lps[i] = Lps[i] + add
                 if grads:
                     for e in emitters:
                         m = credit & (at["sid"] == e)
                         for i in range(3):
-                            acc[f"g_rad_{e}_{i}"] += jnp.where(
-                                m, wt[i] * tp[i] * credit_w, 0.0)
+                            gw = wt[i] * tp[i]
+                            if physical:
+                                gw = gw * inv_cp
+                            acc[f"g_rad_{e}_{i}"] += jnp.where(m, gw, 0.0)
                 shade = alive & surface & ~em_hit
 
                 if nee:

@@ -432,11 +432,13 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
             em_hit = surface & at["is_em"]
             credit = alive & em_hit & (depth == 0) if nee else alive & em_hit
             rad = [at["rr"], at["rg"], at["rb"]]
-            # physical mode compensates the iteration's own RR survival
-            # (engine.IntegratorSpec.physical, quirk 1); reference: bare
-            credit_w = inv_cp if physical else 1.0
             for i in range(3):
-                L[i] = L[i] + jnp.where(credit, rad[i] * tp[i] * credit_w, 0.0)
+                add = rad[i] * tp[i]
+                if physical:
+                    # compensate the iteration's own RR survival
+                    # (engine.IntegratorSpec.physical, quirk 1); ref: bare
+                    add = add * inv_cp
+                L[i] = L[i] + jnp.where(credit, add, 0.0)
             shade = alive & surface & ~em_hit
 
             if nee:
