@@ -49,6 +49,26 @@ def _timed(fn, n=3):
     return best
 
 
+def _wait_for_backend(max_tries: int = 10, sleep_s: float = 60.0):
+    """The axon TPU tunnel can be down transiently (observed multi-hour
+    outages where init raises UNAVAILABLE after ~20 min). Retry a tiny op
+    before committing to the full bench so a flapping tunnel doesn't record
+    a missing round benchmark."""
+    import jax
+    import jax.numpy as jnp
+
+    for attempt in range(max_tries):
+        try:
+            np.asarray(jnp.ones((2,)).sum())
+            return
+        except Exception as e:  # backend init failure
+            print(f"bench: backend init failed (attempt {attempt + 1}/"
+                  f"{max_tries}): {type(e).__name__}", file=sys.stderr)
+            if attempt + 1 == max_tries:
+                raise
+            time.sleep(sleep_s)
+
+
 def main():
     import jax
 
@@ -57,6 +77,7 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     except Exception:
         pass
+    _wait_for_backend()
     import jax.numpy as jnp
 
     import vpt
