@@ -12,8 +12,12 @@ Contracts:
     (phase-sampling only) estimators agree in an anisotropic medium — the
     cross-check that ties hg_phase and phase_sample to the SAME transport
     solution;
-  * the fused Pallas kernels reject g != 0 and the auto renderer falls
-    back to the engine.
+  * the fused Pallas render + diff kernels BAKE g at build time
+    (kernels/prims.hg_phase_const / hg_dir): g == 0 compiles the exact
+    isotropic kernel (bit-identical images), g != 0 matches the engine's
+    anisotropic estimator, and the diff kernel's albedo/radiance gradients
+    stay exact per seed; only the geometric dual kernel still rejects
+    g != 0 (its HG phase toward a theta-dependent light needs duals).
 """
 import math
 
@@ -111,17 +115,109 @@ def test_anisotropy_changes_the_image():
     assert not np.allclose(imgs[0.8], imgs[0.0], rtol=0.05)
 
 
-def test_fused_kernel_rejects_anisotropy():
-    from vpt.kernels.wavefront import build_tile_renderer
+def test_geom_kernel_rejects_anisotropy():
+    """The geometric dual kernel is the one fused kernel still hardcoding
+    the isotropic phase (an HG value toward the theta-dependent light
+    direction needs dual arithmetic)."""
+    from vpt.kernels.geom import make_geom_renderer
 
     scene = vpt.make_scene(g=0.5, **OPEN_FOG)
     with pytest.raises(NotImplementedError, match="isotropic-only"):
-        build_tile_renderer(scene, CAM, 16, 8, 4, interpret=True)
-    # the auto renderer must fall back to the engine, not raise
-    cfg = vpt.RenderConfig(width=16, height=8, spp=2, max_bounces=4,
-                           integrator="explicit_free", chunk_pixels=128)
-    img = np.asarray(vpt.render(scene, CAM, cfg))
-    assert np.isfinite(img).all()
+        make_geom_renderer(scene, CAM, 16, 8, 4, sphere=0, interpret=True)
+
+
+def test_fused_kernel_anisotropic_finite_and_g_sensitive():
+    """g != 0 builds and renders through the fused kernel; forward vs
+    backward scattering redistribute the glow (same contract as the
+    engine's test_anisotropy_changes_the_image)."""
+    from vpt.kernels.wavefront import build_tile_renderer
+
+    W, H, SPP = 24, 18, 16
+    imgs = {}
+    for g in (0.8, 0.0, -0.8):
+        scene = vpt.make_scene(g=g, **OPEN_FOG)
+        run = build_tile_renderer(scene, CAM, W, H, SPP, nee=True,
+                                  max_bounces=10, tile_rows=8,
+                                  interpret=True)
+        imgs[g] = np.asarray(run(5))
+        assert np.isfinite(imgs[g]).all() and (imgs[g] >= 0).all()
+    assert not np.allclose(imgs[0.8], imgs[-0.8], rtol=0.05)
+    assert not np.allclose(imgs[0.8], imgs[0.0], rtol=0.05)
+
+
+def test_fused_kernel_tiny_g_snaps_to_exact_isotropic_build():
+    """|g| <= 1e-3 (media/medium._G_EPS) bakes the exact isotropic kernel:
+    images are BIT-identical to the g == 0 build."""
+    from vpt.kernels.wavefront import build_tile_renderer
+
+    a = build_tile_renderer(vpt.make_scene(g=0.0, **OPEN_FOG), CAM,
+                            16, 8, 4, max_bounces=6, tile_rows=8,
+                            interpret=True)
+    b = build_tile_renderer(vpt.make_scene(g=1e-4, **OPEN_FOG), CAM,
+                            16, 8, 4, max_bounces=6, tile_rows=8,
+                            interpret=True)
+    assert np.array_equal(np.asarray(a(9)), np.asarray(b(9)))
+
+
+@pytest.mark.slow
+def test_fused_kernel_matches_engine_anisotropic():
+    """The baked HG kernel estimates the same transport solution as the
+    engine's traced-g volume family (different RNG backends — statistical
+    mean agreement, the test_pallas.py idiom, in forward-scattering fog)."""
+    from vpt.kernels.wavefront import build_tile_renderer
+
+    scene = vpt.make_scene(g=0.7, **OPEN_FOG)
+    W, H, SPP = 24, 18, 64
+    run = build_tile_renderer(scene, CAM, W, H, SPP, nee=True,
+                              max_bounces=12, tile_rows=8, interpret=True)
+    img = np.clip(np.asarray(run(1)).reshape(H, W, 3), 0, 1)
+    cfg = vpt.RenderConfig(width=W, height=H, spp=SPP,
+                           integrator="explicit_free", max_bounces=12,
+                           chunk_pixels=W * H, renderer="scan")
+    ref = np.clip(np.asarray(vpt.render(scene, CAM, cfg)), 0, 1)
+    assert np.isclose(img.mean(), ref.mean(), rtol=0.1), (img.mean(),
+                                                          ref.mean())
+    c = np.corrcoef(img.ravel(), ref.ravel())[0, 1]
+    assert c > 0.5, c
+
+
+@pytest.mark.parametrize("leaf,index,eps", [
+    ("radiance", (0, 1), 1e-2),
+    ("albedo", (0, 0), 1e-3),
+])
+def test_diff_kernel_grads_exact_per_seed_anisotropic(leaf, index, eps):
+    """g != 0 through the custom-VJP pair: the HG phase value and scatter
+    direction are theta-independent, so albedo/radiance gradients remain
+    EXACT per seed (finite differences of the forward kernel at fixed
+    seed == the replay backward) — the strongest possible check that the
+    backward replays the anisotropic forward faithfully."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from vpt.kernels.diff import make_diff_renderer, pack_params
+    from vpt.scene.scene import Medium
+
+    # Cornell (walls keep the albedo chain live) in anisotropic fog
+    base = vpt.cornell_vpt()
+    scene = dataclasses.replace(
+        base, medium=Medium(base.medium.sigma_a, base.medium.sigma_s, 0.6))
+    render = make_diff_renderer(scene, CAM, 16, 8, 2, max_bounces=6,
+                                tile_rows=8, interpret=True)
+    params = pack_params(scene)
+
+    def loss(p):
+        return jnp.mean(render(p, 3))
+
+    g = float(np.asarray(jax.grad(loss)(params)[leaf])[index])
+
+    def bump(e):
+        p = dict(params)
+        p[leaf] = params[leaf].at[index].set(params[leaf][index] + e)
+        return float(loss(p))
+
+    fd = (bump(eps) - bump(-eps)) / (2 * eps)
+    assert np.isfinite(g) and np.isfinite(fd)
+    assert np.isclose(g, fd, rtol=3e-2, atol=1e-7), (g, fd)
 
 
 @pytest.mark.slow

@@ -201,8 +201,7 @@ def render(scene: Scene, camera: cam.Camera, cfg: RenderConfig,
         # from cfg.seed (its PCG streams), not from a threefry key.
         from ..kernels import wavefront as _wf
 
-        if (cfg.integrator in _wf.PALLAS_INTEGRATORS
-                and float(jnp.asarray(scene.medium.g)) == 0.0):
+        if cfg.integrator in _wf.PALLAS_INTEGRATORS:
             return _wf.render_pallas(scene, camera, cfg)
 
     if key is None:

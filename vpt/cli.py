@@ -42,7 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hg-g", type=float, default=None, metavar="G",
                    help="Henyey-Greenstein anisotropy in (-1,1); default 0 "
                         "(isotropic, the reference's only behavior). "
-                        "Engine renderers only")
+                        "Supported by the engine renderers and the fused "
+                        "render kernel (g is baked at kernel-build time)")
     p.add_argument("--max-bounces", type=int, default=32)
     p.add_argument("--continue-prob", type=float, default=0.6)
     p.add_argument("--seed", type=int, default=0)

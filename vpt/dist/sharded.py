@@ -121,7 +121,6 @@ def render_sharded(scene: Scene, camera: cam.Camera, cfg, mesh: Mesh,
         raise ValueError(f"unknown backend {backend!r}")
     use_pallas = backend == "pallas" or (
         backend == "auto" and cfg.integrator in PALLAS_INTEGRATORS
-        and float(jnp.asarray(scene.medium.g)) == 0.0
         and (interpret or mesh.devices.flat[0].platform == "tpu"))
     if use_pallas:
         return render_pallas_sharded(scene, camera, cfg, mesh,

@@ -114,6 +114,12 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
     sc = _scene_consts(scene)
     S = len(sc["r"])
     P = 2 + 6 * S
+    # HG anisotropy: baked const like the forward kernel. g is NOT a
+    # differentiable parameter here (dL/dg needs the phase-draw score term
+    # — engine sigma_score covers it); the phase VALUE in medium NEE and
+    # the HG scatter direction are theta-independent, so every gradient
+    # family in the module docstring is unchanged in form.
+    g_hg = sc["g"]
     cp = float(continue_prob)
     q = 1.0 - cp
     R = tile_rows
@@ -347,7 +353,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 return acc, {"dsig": dsig, "drad": drad, "dalb": dalb,
                              "dle": dle, "sid2": sid2}
 
-            def medium_nee(rng, xt, lc, lrad, lr, lid):
+            def medium_nee(rng, d, xt, lc, lrad, lr, lid):
                 wc = [lc[i] - xt[i] for i in range(3)]
                 inv_mag = jax.lax.rsqrt(jnp.maximum(pr.dot3(wc, wc), 1e-20))
                 wc_n = pr.scale3(wc, inv_mag)
@@ -356,9 +362,16 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 wl = pr.cone_dir(wc_n, cos_max, rng(), rng())
                 hit, t, sid = pr.nearest_id_t(sc, xt, wl)
                 visible = hit & (sid == lid) & (lr > 0.0)
-                # INV_4PI / cone_pdf = INV_4PI * 2pi * (1 - cos_max): no div
+                if g_hg != 0.0:
+                    # HG phase toward the cone sample (theta-independent:
+                    # it rides inside w, so the radiance gradient and the
+                    # sigma score/value chains stay correct unmodified)
+                    phase = pr.hg_phase_const(pr.dot3(d, wl), g_hg)
+                else:
+                    phase = INV_4PI
+                # phase / cone_pdf = phase * 2pi * (1 - cos_max): no div
                 w = jnp.where(visible,
-                              jnp.exp(-sigma_t * t) * (INV_4PI * pr.TWO_PI)
+                              jnp.exp(-sigma_t * t) * (phase * pr.TWO_PI)
                               * jnp.maximum(1.0 - cos_max, 1e-12), 0.0)
                 return [lrad[i] * w for i in range(3)], w, t
 
@@ -517,7 +530,12 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 tp_surface = [tp[i] * fs[i] * wscale for i in range(3)]
 
                 u_p1, u_p2 = rng(), rng()
-                wi_m = pr.uniform_sphere(u_p1, u_p2)
+                if g_hg != 0.0:
+                    # HG importance sampling: phase/pdf == 1, throughput
+                    # weights and score terms unchanged from isotropic
+                    wi_m, _ = pr.hg_dir(d, g_hg, u_p1, u_p2)
+                else:
+                    wi_m = pr.uniform_sphere(u_p1, u_p2)
                 if distance == "free":
                     med_scale = ar_cp                   # sigma_s/sigma_t/cp
                     # d(log med_scale)/d(sigma_t-channel); the NEE term adds
@@ -530,8 +548,8 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                     med_dsig = -jnp.abs(d_along) \
                         - t_det2 * tr_act / one_m_tr
                 if nee:
-                    ld_med, w_med, t_vis = medium_nee(rng, xt, lc, lrad, lr,
-                                                      lid)
+                    ld_med, w_med, t_vis = medium_nee(rng, d, xt, lc, lrad,
+                                                      lr, lid)
                     adds = [jnp.where(medium,
                                       ld_med[i] * inv_ps * tp[i] * med_scale,
                                       0.0)

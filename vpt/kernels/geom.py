@@ -66,7 +66,7 @@ from ..scene.scene import Scene
 from . import dual as du
 from .prims import (BIG, INV_4PI, LD_ALPHA, TWO_PI, Pcg,
                     ld_offsets, ld_strat, pcg_seed)
-from .wavefront import _scene_consts
+from .wavefront import _reject_anisotropy, _scene_consts
 
 __all__ = ["make_geom_renderer", "pack_theta"]
 
@@ -123,6 +123,11 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
         raise ValueError("no differentiated block enabled")
     if sampler not in ("random", "ld"):
         raise ValueError(f"unknown sampler {sampler!r}")
+    # the dual kernel hardcodes the isotropic 1/4pi phase: an HG phase
+    # value toward the theta-dependent light direction would need dual
+    # arithmetic (wavefront/diff DO support g != 0; engine AD/FD covers
+    # anisotropic geometry recovery)
+    _reject_anisotropy(scene)
     sc = _scene_consts(scene)
     S = len(sc["r"])
     cp = float(continue_prob)

@@ -408,6 +408,29 @@ def uniform_sphere(u1, u2):
     return [st * jnp.cos(phi), st * jnp.sin(phi), ct]
 
 
+def hg_phase_const(cos_t, g):
+    """Henyey-Greenstein phase value for a BUILD-TIME python-const g != 0
+    (media/medium.hg_phase with the division replaced by rsqrt^3: 1/d^1.5 =
+    rsqrt(d)^3 — division-free per the round-2 division diet)."""
+    den = jnp.maximum(1.0 + g * g - 2.0 * g * cos_t, 1e-12)
+    rs = jax.lax.rsqrt(den)
+    return (INV_4PI * (1.0 - g * g)) * rs * rs * rs
+
+
+def hg_dir(d, g, u1, u2):
+    """Sample a Henyey-Greenstein direction around the incoming propagation
+    direction d for a BUILD-TIME python-const g != 0; the anisotropic branch
+    of media/medium.phase_sample (same (u1, u2) -> direction mapping).
+    phase/pdf == 1 exactly, so the caller's throughput weight is unchanged
+    from the isotropic case. Returns (wi, cos_theta)."""
+    s = (1.0 - g * g) / (1.0 - g + 2.0 * g * u1)
+    cos_t = jnp.clip((1.0 + g * g - s * s) * (1.0 / (2.0 * g)), -1.0, 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi = TWO_PI * u2
+    local = [sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t]
+    return normalize3(from_local(d, local)), cos_t
+
+
 def beckmann_wh(alpha, u1, u2):
     t2 = jnp.maximum(-(alpha * alpha) * jnp.log(jnp.maximum(1.0 - u1, 1e-20)),
                      1e-20)

@@ -46,13 +46,27 @@ from .prims import BIG, F32EPS, INV_4PI, TWO_PI
 __all__ = ["build_tile_renderer", "render_pallas"]
 
 
-def _reject_anisotropy(scene: Scene) -> float:
+_G_EPS = 1e-3   # |g| below this is isotropic (media/medium._G_EPS: the HG
+                # inversion divides by 2g and loses all precision there)
+
+
+def _baked_g(scene: Scene) -> float:
+    """Medium.g frozen to a python const; tiny |g| snaps to exactly 0 so
+    the g == 0 kernel stays bit-identical to the isotropic build."""
     g = float(jnp.asarray(scene.medium.g))
+    return g if abs(g) > _G_EPS else 0.0
+
+
+def _reject_anisotropy(scene: Scene) -> float:
+    """Guard for the fused kernels that still hardcode the isotropic
+    1/4pi phase (the geometric dual kernel: the HG phase value toward a
+    theta-dependent light direction would need dual arithmetic)."""
+    g = _baked_g(scene)
     if g != 0.0:
         raise NotImplementedError(
-            f"the fused Pallas kernels are isotropic-only (Medium.g == 0); "
-            f"got g={g}. Use renderer='scan'/'persistent' (the engine "
-            f"volume family supports Henyey-Greenstein anisotropy).")
+            f"this fused kernel is isotropic-only (Medium.g == 0); got "
+            f"g={g}. Use renderer='scan'/'persistent' (the engine volume "
+            f"family supports Henyey-Greenstein anisotropy).")
     return g
 
 
@@ -77,9 +91,11 @@ def _scene_consts(scene: Scene):
         "alpha": fl(scene.alpha),
         "sigma_a": float(scene.medium.sigma_a),
         "sigma_s": float(scene.medium.sigma_s),
-        # guard shared by all three fused kernels (diff/geom import this):
-        # they hardcode the isotropic 1/4pi phase in their NEE terms
-        "_g_check": _reject_anisotropy(scene),
+        # Henyey-Greenstein anisotropy, baked like everything else (the
+        # engine covers a TRACED g; here g != 0 swaps the phase factor in
+        # medium NEE and the scatter sampler at build time, and g == 0
+        # compiles the exact isotropic kernel — bit-identical images)
+        "g": _baked_g(scene),
         "emitters": tuple(scene.emitter_idx),
         "mis_lights": tuple(scene.mis_light_idx),
     }
@@ -132,6 +148,7 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
     q = 1.0 - cp
     sigma_t = sc["sigma_a"] + sc["sigma_s"]
     albedo_ratio = sc["sigma_s"] / sigma_t if sigma_t > 0 else 0.0
+    g_hg = sc["g"]
     R = tile_rows
     LANES = R * 128
     npix = width * height
@@ -333,10 +350,12 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                 acc[i] += g[i] * wg
             return acc
 
-        def medium_nee(rng, xt, lc, lrad, lr, lid):
+        def medium_nee(rng, d, xt, lc, lrad, lr, lid):
             """freeSingleScattering (volumetricBasicFunctions.h:284-340)
             with the missing-else point kill => point sources contribute 0
-            (media/nee.py); sphere sources: cone sample + id match."""
+            (media/nee.py); sphere sources: cone sample + id match.
+            d is the incoming propagation direction: at g != 0 the phase
+            value toward the cone sample is HG (media/nee.py d_in/g)."""
             wc = [lc[i] - xt[i] for i in range(3)]
             inv_mag = jax.lax.rsqrt(jnp.maximum(pr.dot3(wc, wc), 1e-20))
             wc_n = pr.scale3(wc, inv_mag)
@@ -345,10 +364,14 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
             wl = pr.cone_dir(wc_n, cos_max, rng(), rng())
             hit, t, sid = pr.nearest_id_t(sc, xt, wl)
             visible = hit & (sid == lid) & (lr > 0.0)
-            # INV_4PI / cone_pdf = INV_4PI * 2pi * (1 - cos_max): no div
+            if g_hg != 0.0:
+                phase = pr.hg_phase_const(pr.dot3(d, wl), g_hg)
+            else:
+                phase = INV_4PI     # exact const: the reference's 1/4pi
+            # phase / cone_pdf = phase * 2pi * (1 - cos_max): no div
             w = jnp.where(visible,
                           jnp.exp(-sigma_t * t)
-                          * (INV_4PI * pr.TWO_PI)
+                          * (phase * pr.TWO_PI)
                           * jnp.maximum(1.0 - cos_max, 1e-12),
                           0.0)
             return [lrad[i] * w for i in range(3)]
@@ -456,13 +479,18 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
 
             medium = alive & ~surface
             u_p1, u_p2 = rng(), rng()
-            wi_m = pr.uniform_sphere(u_p1, u_p2)
+            if g_hg != 0.0:
+                # HG importance sampling: phase/pdf == 1, so every
+                # throughput weight below is unchanged from isotropic
+                wi_m, _ = pr.hg_dir(d, g_hg, u_p1, u_p2)
+            else:
+                wi_m = pr.uniform_sphere(u_p1, u_p2)
             if distance == "free":
                 if nee:
                     # explicit free: transmittance/pdf cancel analytically
                     # (the PBRT simplification, vptShadeMethods.h:1248) —
                     # only sigma_s/sigma_t survives
-                    ld_med = medium_nee(rng, xt, lc, lrad, lr, lid)
+                    ld_med = medium_nee(rng, d, xt, lc, lrad, lr, lid)
                     med_c = n_em_f * albedo_ratio * inv_cp  # python const
                     for i in range(3):
                         L[i] = L[i] + jnp.where(
@@ -488,7 +516,7 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                 inv_pdf_s = 1.0 / pdf_success
                 w_med = (sc["sigma_s"] * inv_cp) * t_xt * inv_pdf_s
                 if nee:
-                    ld_med = medium_nee(rng, xt, lc, lrad, lr, lid)
+                    ld_med = medium_nee(rng, d, xt, lc, lrad, lr, lid)
                     scale = w_med * n_em_f
                     for i in range(3):
                         L[i] = L[i] + jnp.where(

@@ -33,8 +33,10 @@ class Medium:
 
     g: Henyey-Greenstein anisotropy in (-1, 1); 0 (the default, and the
     reference's only behavior) is isotropic. g != 0 is supported by the
-    engine volume family (media/medium.hg_phase); the fused Pallas kernels
-    are isotropic-only and raise."""
+    engine volume family (media/medium.hg_phase) and by the fused Pallas
+    render + diff kernels (baked at build time, kernels/prims.hg_dir);
+    only the geometric dual kernel (kernels/geom.py) is isotropic-only
+    and raises."""
 
     sigma_a: jnp.ndarray
     sigma_s: jnp.ndarray
