@@ -220,6 +220,97 @@ def test_diff_kernel_grads_exact_per_seed_anisotropic(leaf, index, eps):
     assert np.isclose(g, fd, rtol=3e-2, atol=1e-7), (g, fd)
 
 
+def test_diff_kernel_traced_g_mode():
+    """diff_g=True traces the anisotropy through SMEM (trainable without
+    per-step recompiles): the forward matches the baked-g build to fp
+    noise, radiance gradients stay exact per seed, and dL/dg is a real,
+    seed-deterministic scalar."""
+    import jax
+    import jax.numpy as jnp
+    from vpt.kernels.diff import make_diff_renderer, pack_params
+
+    scene = vpt.make_scene(g=0.5, **OPEN_FOG)
+    W, H, SPP = 16, 8, 4
+    r_g = make_diff_renderer(scene, CAM, W, H, SPP, max_bounces=8,
+                             tile_rows=8, diff_g=True, interpret=True)
+    r_b = make_diff_renderer(scene, CAM, W, H, SPP, max_bounces=8,
+                             tile_rows=8, interpret=True)
+    pg = pack_params(scene, with_g=True)
+    a = np.asarray(r_g(pg, 3))
+    b = np.asarray(r_b(pack_params(scene), 3))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+    def loss(p):
+        return jnp.mean(r_g(p, 3))
+
+    grads = jax.grad(loss)(pg)
+    eps = 1e-2
+    p1 = dict(pg)
+    p1["radiance"] = pg["radiance"].at[0, 1].set(pg["radiance"][0, 1] + eps)
+    p2 = dict(pg)
+    p2["radiance"] = pg["radiance"].at[0, 1].set(pg["radiance"][0, 1] - eps)
+    fd = (float(loss(p1)) - float(loss(p2))) / (2 * eps)
+    assert np.isclose(float(grads["radiance"][0, 1]), fd, rtol=3e-2), (
+        float(grads["radiance"][0, 1]), fd)
+    gg = float(grads["g"])
+    assert np.isfinite(gg) and gg != 0.0
+    assert float(jax.grad(loss)(pg)["g"]) == gg    # seed-deterministic
+    # params/diff_g mismatch is a loud error, not silent garbage
+    with pytest.raises(ValueError, match="'g' leaf"):
+        r_g(pack_params(scene), 3)
+    with pytest.raises(ValueError, match="'g' leaf"):
+        r_b(pg, 3)
+
+
+@pytest.mark.slow
+def test_diff_kernel_g_grad_matches_engine():
+    """E[dL/dg] agrees between the fused kernel's in-VMEM score estimator
+    (diff_g=True) and the XLA engine's sigma_score autodiff — two
+    independently derived implementations of the same unbiased derivative
+    (different RNG backends, so the comparison is statistical).
+    Measured during development: kernel 1.170 (se 0.135) vs engine 1.151
+    (se 0.097) over 24 seeds at this exact workload."""
+    import dataclasses
+    import math as _math
+    import jax
+    import jax.numpy as jnp
+    from vpt.integrators import engine
+    from vpt.kernels.diff import make_diff_renderer, pack_params
+    from vpt.scene import camera as cam
+    from vpt.scene.scene import Medium
+
+    scene = vpt.make_scene(g=0.5, **OPEN_FOG)
+    W, H, SPP, K = 16, 8, 4, 24
+    r_g = make_diff_renderer(scene, CAM, W, H, SPP, max_bounces=8,
+                             tile_rows=8, diff_g=True, interpret=True)
+    pg = pack_params(scene, with_g=True)
+    gk = jax.jit(jax.grad(lambda p, s: jnp.mean(r_g(p, s))))
+    ks = [float(gk(pg, jnp.int32(100 + i))["g"]) for i in range(K)]
+
+    spec = engine.IntegratorSpec(max_bounces=8, sigma_score=True)
+    ids = jnp.arange(W * H, dtype=jnp.int32)
+
+    def eng_loss(g, key):
+        sc = dataclasses.replace(scene, medium=Medium(
+            scene.medium.sigma_a, scene.medium.sigma_s, g))
+        acc = 0.0
+        for s in range(SPP):
+            k = jax.random.fold_in(key, s)
+            o, d = cam.rays_for_pixels(CAM, W, H, ids, k, True)
+            acc = acc + engine.trace(sc, spec, o, d, k, differentiable=True)
+        return jnp.mean(acc) / SPP
+
+    eg = jax.jit(jax.grad(eng_loss))
+    es = [float(eg(jnp.float32(0.5), jax.random.PRNGKey(300 + i)))
+          for i in range(K)]
+    km, kse = np.mean(ks), np.std(ks) / _math.sqrt(K)
+    em, ese = np.mean(es), np.std(es) / _math.sqrt(K)
+    assert np.isfinite(km) and np.isfinite(em)
+    tol = 4.0 * float(np.hypot(kse, ese)) + 0.05 * abs(em)
+    assert abs(km - em) < tol, (km, kse, em, ese)
+    assert abs(em) > 3 * ese        # a real derivative, not zero-vs-zero
+
+
 @pytest.mark.slow
 def test_g_grad_statistical_fd():
     """dL/dg: the score-function estimator (sigma_score=True adds the

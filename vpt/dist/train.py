@@ -42,6 +42,9 @@ _DOMAIN = {
     "sigma_s": (1e-6, None),
     "albedo": (0.0, 1.0),
     "radiance": (0.0, None),
+    # HG anisotropy: the score noise grows as |g| -> 1 and the HG inversion
+    # degenerates at |g| == 1 (docs/INVERSE_RENDERING.md clips the same)
+    "g": (-0.95, 0.95),
 }
 
 

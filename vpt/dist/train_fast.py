@@ -32,14 +32,17 @@ def make_kernel_train_step(scene: Scene, camera, width: int, height: int,
                            spp: int, optimizer: optax.GradientTransformation,
                            *, distance: str = "free", max_bounces: int = 32,
                            tile_rows: int = 32, sampler: str = "random",
+                           diff_g: bool = False,
                            interpret: bool = False):
     """Build step(params, opt_state, target_flat, seed) ->
     (params, opt_state, loss). `params` is the kernels.diff pytree
-    (pack_params); target_flat is (npix, 3). Geometry/camera are baked."""
+    (pack_params; pack with with_g=True when diff_g — the HG anisotropy
+    then trains jointly with the medium set); target_flat is (npix, 3).
+    Geometry/camera are baked."""
     render = make_diff_renderer(
         scene, camera, width, height, max(spp // 2, 1), distance=distance,
         max_bounces=max_bounces, tile_rows=tile_rows, sampler=sampler,
-        interpret=interpret)
+        diff_g=diff_g, interpret=interpret)
 
     @jax.jit
     def step(params, opt_state, target_flat, seed):
@@ -63,6 +66,7 @@ def make_sharded_kernel_train_step(scene: Scene, camera, width: int,
                                    max_bounces: int = 32,
                                    tile_rows: int = 32,
                                    sampler: str = "random",
+                                   diff_g: bool = False,
                                    interpret: bool = False):
     """Multi-chip kernel training: each device runs the fused fwd/bwd pair
     over its contiguous pixel-tile range (the backward kernel masks lanes
@@ -79,7 +83,7 @@ def make_sharded_kernel_train_step(scene: Scene, camera, width: int,
     render = make_diff_renderer(
         scene, camera, width, height, max(spp // 2, 1), distance=distance,
         max_bounces=max_bounces, tile_rows=tile_rows, sampler=sampler,
-        interpret=interpret)
+        diff_g=diff_g, interpret=interpret)
     lanes = render.lanes_per_tile
     npix = render.npix
     tiles_per_shard = -(-render.num_tiles // n_data)
@@ -417,18 +421,20 @@ def fit_geom(scene: Scene, camera, target, *, sphere: int | None,
 def fit_kernel(scene: Scene, camera, target, *, steps: int = 100,
                spp: int = 16, learning_rate=1.5e-3, distance: str = "free",
                max_bounces: int = 32, sampler: str = "random",
-               seed: int = 0, interpret: bool = False,
+               seed: int = 0, diff_g: bool = False,
+               interpret: bool = False,
                param_filter=None, log_every: int = 0):
-    """Recover {sigma_a, sigma_s, albedo, radiance} from a target (H, W, 3)
-    image with the fused kernel. `param_filter(updated, initial) -> params`
-    can freeze leaves (e.g. keep everything but sigma_s fixed). Returns
+    """Recover {sigma_a, sigma_s, albedo, radiance} — plus the HG
+    anisotropy g when diff_g=True — from a target (H, W, 3) image with the
+    fused kernel. `param_filter(updated, initial) -> params` can freeze
+    leaves (e.g. keep everything but sigma_s fixed). Returns
     (params, losses)."""
     height, width = target.shape[:2]
     optimizer = optax.adam(learning_rate)
-    params = pack_params(scene)
+    params = pack_params(scene, with_g=diff_g)
     step = make_kernel_train_step(scene, camera, width, height, spp,
                                   optimizer, distance=distance,
                                   max_bounces=max_bounces, sampler=sampler,
-                                  interpret=interpret)
+                                  diff_g=diff_g, interpret=interpret)
     return _fit_loop(step, params, optimizer, target, width, height, steps,
                      seed, param_filter, log_every)

@@ -58,32 +58,43 @@ from .wavefront import _scene_consts
 __all__ = ["make_diff_renderer", "pack_params", "unpack_params"]
 
 
-def pack_params(scene: Scene):
-    """Differentiable parameter pytree from a scene."""
-    return {
+def pack_params(scene: Scene, with_g: bool = False):
+    """Differentiable parameter pytree from a scene. with_g adds the HG
+    anisotropy as a traced leaf (pair with make_diff_renderer(diff_g=True);
+    the leaf order keeps the first 2+6S packed indices stable)."""
+    p = {
         "sigma_a": jnp.asarray(scene.medium.sigma_a, jnp.float32),
         "sigma_s": jnp.asarray(scene.medium.sigma_s, jnp.float32),
         "albedo": jnp.asarray(scene.albedo, jnp.float32),
         "radiance": jnp.asarray(scene.radiance, jnp.float32),
     }
+    if with_g:
+        p["g"] = jnp.asarray(scene.medium.g, jnp.float32)
+    return p
 
 
 def _flatten(params, S):
-    return jnp.concatenate([
+    parts = [
         jnp.reshape(params["sigma_a"], (1,)).astype(jnp.float32),
         jnp.reshape(params["sigma_s"], (1,)).astype(jnp.float32),
         jnp.reshape(params["albedo"], (3 * S,)).astype(jnp.float32),
         jnp.reshape(params["radiance"], (3 * S,)).astype(jnp.float32),
-    ])
+    ]
+    if "g" in params:
+        parts.append(jnp.reshape(params["g"], (1,)).astype(jnp.float32))
+    return jnp.concatenate(parts)
 
 
 def unpack_params(vec, S):
-    return {
+    p = {
         "sigma_a": vec[0],
         "sigma_s": vec[1],
         "albedo": vec[2:2 + 3 * S].reshape(S, 3),
         "radiance": vec[2 + 3 * S:2 + 6 * S].reshape(S, 3),
     }
+    if vec.shape[0] == 3 + 6 * S:       # the traced-g layout (diff_g)
+        p["g"] = vec[2 + 6 * S]
+    return p
 
 
 def make_diff_renderer(scene: Scene, camera, width: int, height: int,
@@ -93,9 +104,21 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                        tile_rows: int = 32, jitter: bool = True,
                        sampler: str = "random",
                        physical: bool = False,
+                       diff_g: bool = False,
                        interpret: bool = False):
     """Build render(params, seed:int) -> (npix, 3), reverse-differentiable
     w.r.t. params (see module docstring).
+
+    diff_g=True makes the HG anisotropy a TRACED differentiable scalar
+    (params from pack_params(scene, with_g=True), packed index 2+6S): the
+    scatter draw samples HG at the traced g (prims.hg_dir_traced, with the
+    engine's isotropic snap at |g| <= 1e-3), the medium-NEE phase value is
+    evaluated at the traced g, and dL/dg is the unbiased estimator of
+    engine.IntegratorSpec(sigma_score=True): a pathwise term for the NEE
+    phase VALUE plus the phase-draw score d/dg log p(cos|g) deferred
+    against future contributions (prims.dlog_hg_dg). Training can then
+    recover (sigma_a, sigma_s, g) jointly at kernel speed without
+    recompiling per step.
 
     distance='free' is the reference's active iterativeVPTracerFree family;
     'equiangular' the explicitVPTracerRecursive family (vptShadeMethods.h:
@@ -113,12 +136,13 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
         raise ValueError(f"unknown sampler {sampler!r}")
     sc = _scene_consts(scene)
     S = len(sc["r"])
-    P = 2 + 6 * S
-    # HG anisotropy: baked const like the forward kernel. g is NOT a
-    # differentiable parameter here (dL/dg needs the phase-draw score term
-    # — engine sigma_score covers it); the phase VALUE in medium NEE and
-    # the HG scatter direction are theta-independent, so every gradient
-    # family in the module docstring is unchanged in form.
+    P = 2 + 6 * S + (1 if diff_g else 0)
+    IG = 2 + 6 * S                      # packed index of g when diff_g
+    # HG anisotropy, baked const when diff_g=False (scene value frozen like
+    # the forward kernel; the phase VALUE in medium NEE and the HG scatter
+    # direction are theta-independent, so every gradient family in the
+    # module docstring is unchanged in form). diff_g=True traces g instead
+    # (see the docstring) and ignores this const.
     g_hg = sc["g"]
     cp = float(continue_prob)
     q = 1.0 - cp
@@ -165,6 +189,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                         for s in range(S))
             rad = tuple(tuple(params_ref[2 + 3 * S + 3 * s + c]
                               for c in range(3)) for s in range(S))
+            gph = params_ref[IG] if diff_g else None
             sigma_t = sa + ss
             inv_st = 1.0 / sigma_t
             albedo_ratio = ss * inv_st
@@ -362,7 +387,16 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 wl = pr.cone_dir(wc_n, cos_max, rng(), rng())
                 hit, t, sid = pr.nearest_id_t(sc, xt, wl)
                 visible = hit & (sid == lid) & (lr > 0.0)
-                if g_hg != 0.0:
+                dlogp = None
+                if diff_g:
+                    # traced-g phase toward the cone sample + its pathwise
+                    # dL/dg factor d/dg log phase (the phase value is the
+                    # only g-dependence of this bounce's NEE contribution)
+                    cos_nee = pr.dot3(d, wl)
+                    phase = pr.hg_phase_const(cos_nee, gph)
+                    if grads:
+                        dlogp = pr.dlog_hg_dg(cos_nee, gph)
+                elif g_hg != 0.0:
                     # HG phase toward the cone sample (theta-independent:
                     # it rides inside w, so the radiance gradient and the
                     # sigma score/value chains stay correct unmodified)
@@ -373,7 +407,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 w = jnp.where(visible,
                               jnp.exp(-sigma_t * t) * (phase * pr.TWO_PI)
                               * jnp.maximum(1.0 - cos_max, 1e-12), 0.0)
-                return [lrad[i] * w for i in range(3)], w, t
+                return [lrad[i] * w for i in range(3)], w, t, dlogp
 
             # ------------- the persistent loop ---------------------------
             def loop_body(state):
@@ -530,7 +564,12 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 tp_surface = [tp[i] * fs[i] * wscale for i in range(3)]
 
                 u_p1, u_p2 = rng(), rng()
-                if g_hg != 0.0:
+                if diff_g:
+                    # HG at the traced g (importance-sampled: phase/pdf==1,
+                    # so no throughput factor; the draw's g-dependence is
+                    # the deferred score below)
+                    wi_m = pr.hg_dir_traced(d, gph, u_p1, u_p2)
+                elif g_hg != 0.0:
                     # HG importance sampling: phase/pdf == 1, throughput
                     # weights and score terms unchanged from isotropic
                     wi_m, _ = pr.hg_dir(d, g_hg, u_p1, u_p2)
@@ -548,8 +587,8 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                     med_dsig = -jnp.abs(d_along) \
                         - t_det2 * tr_act / one_m_tr
                 if nee:
-                    ld_med, w_med, t_vis = medium_nee(rng, d, xt, lc, lrad,
-                                                      lr, lid)
+                    ld_med, w_med, t_vis, dlogp_nee = medium_nee(
+                        rng, d, xt, lc, lrad, lr, lid)
                     adds = [jnp.where(medium,
                                       ld_med[i] * inv_ps * tp[i] * med_scale,
                                       0.0)
@@ -565,6 +604,10 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                             gx += wt[i] * adds[i]
                         acc["g_st"] += gs
                         acc["g_ssx"] += gx * (1.0 / ss)
+                        if diff_g:
+                            # pathwise dL/dg of this bounce's NEE value:
+                            # adds carries the phase(cos_nee | g) factor
+                            acc["g_g"] += gx * dlogp_nee
                         for e in emitters:
                             m = medium & (lid == e)
                             for i in range(3):
@@ -583,6 +626,18 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                     acc["B_st"] += k_med_st * wL1
                     acc["A_ssx"] += k_med_ssx
                     acc["B_ssx"] += k_med_ssx * wL1
+                    if diff_g:
+                        # phase-draw score d/dg log p(cos|g): the sampled
+                        # direction is detached, the draw's g-dependence
+                        # reweights FUTURE contributions only — so it joins
+                        # the deferred pairs against wL1, which already
+                        # includes this bounce's own emissions (the engine
+                        # adds phase_s after w_sc the same way)
+                        k_g = jnp.where(medium,
+                                        pr.dlog_hg_dg(pr.dot3(d, wi_m), gph),
+                                        0.0)
+                        acc["A_g"] += k_g
+                        acc["B_g"] += k_g * wL1
                     for s in lam_ids:
                         m = shade & (at["sid"] == s)
                         for i in range(3):
@@ -614,6 +669,11 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                     acc["B_st"] = jnp.where(finished, 0.0, acc["B_st"])
                     acc["A_ssx"] = jnp.where(finished, 0.0, acc["A_ssx"])
                     acc["B_ssx"] = jnp.where(finished, 0.0, acc["B_ssx"])
+                    if diff_g:
+                        acc["g_g"] += jnp.where(
+                            finished, acc["A_g"] * WL - acc["B_g"], 0.0)
+                        acc["A_g"] = jnp.where(finished, 0.0, acc["A_g"])
+                        acc["B_g"] = jnp.where(finished, 0.0, acc["B_g"])
                     for s in lam_ids:
                         for i in range(3):
                             a = acc[f"A_alb_{s}_{i}"]
@@ -635,6 +695,8 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
             if grads:
                 acc = {"g_st": z, "g_ssx": z, "A_st": z, "B_st": z,
                        "A_ssx": z, "B_ssx": z}
+                if diff_g:
+                    acc.update({"g_g": z, "A_g": z, "B_g": z})
                 for e in emitters:
                     for i in range(3):
                         acc[f"g_rad_{e}_{i}"] = z
@@ -669,12 +731,16 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
             wt_sum = wt[0] * Lps[0] + wt[1] * Lps[1] + wt[2] * Lps[2]
             g_st = acc["g_st"] + acc["A_st"] * wt_sum - acc["B_st"]
             g_ssx = acc["g_ssx"] + acc["A_ssx"] * wt_sum - acc["B_ssx"]
+            if diff_g:
+                g_g = acc["g_g"] + acc["A_g"] * wt_sum - acc["B_g"]
             for s in lam_ids:
                 for i in range(3):
                     acc[f"g_alb_{s}_{i}"] += (acc[f"A_alb_{s}_{i}"] * Lps[i]
                                               - acc[f"B_alb_{s}_{i}"])
             # reduce to the packed gradient vector on row 0
             vals = {0: jnp.sum(g_st), 1: jnp.sum(g_st) + jnp.sum(g_ssx)}
+            if diff_g:
+                vals[IG] = jnp.sum(g_g)
             for s in alb_ids:
                 for i in range(3):
                     vals[2 + 3 * s + i] = jnp.sum(acc[f"g_alb_{s}_{i}"])
@@ -747,11 +813,19 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
         )(pvec, seeds, base, *planes)
         return out.reshape(num_tiles, 8, 128)[:, 0, :].sum(axis=0)[:P]
 
+    def _check_g_leaf(params):
+        if ("g" in params) != diff_g:
+            raise ValueError(
+                "params must contain a 'g' leaf iff diff_g=True — build "
+                "them with pack_params(scene, with_g=diff_g)")
+
     @jax.custom_vjp
     def render(params, seed):
+        _check_g_leaf(params)
         return run_fwd(_flatten(params, S), seed)
 
     def render_fwd(params, seed):
+        _check_g_leaf(params)
         pvec = _flatten(params, S)
         return run_fwd(pvec, seed), (pvec, seed)
 

@@ -431,6 +431,35 @@ def hg_dir(d, g, u1, u2):
     return normalize3(from_local(d, local)), cos_t
 
 
+def hg_dir_traced(d, g, u1, u2):
+    """HG scatter sampler for a TRACED scalar g (the diff kernel's
+    diff_g mode), with the engine's isotropic snap at |g| <= 1e-3
+    (media/medium.phase_sample: the inversion divides by 2g and loses all
+    precision there). Returns the sampled direction."""
+    aniso = jnp.abs(g) > 1e-3
+    g_safe = jnp.where(aniso, g, 0.5)      # keep the unselected lane finite
+    s = (1.0 - g_safe * g_safe) / (1.0 - g_safe + 2.0 * g_safe * u1)
+    cos_t = jnp.clip((1.0 + g_safe * g_safe - s * s) / (2.0 * g_safe),
+                     -1.0, 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi = TWO_PI * u2
+    local = [sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t]
+    hg = normalize3(from_local(d, local))
+    iso = uniform_sphere(u1, u2)
+    m = jnp.broadcast_to(aniso, u1.shape)
+    return sel3(m, hg, iso)
+
+
+def dlog_hg_dg(cos_t, g):
+    """d/dg of log hg_phase(cos, g) = -2g/(1-g^2) - 3(g-cos)/(1+g^2-2g cos)
+    — the phase-draw score factor of the unbiased dL/dg estimator
+    (engine.IntegratorSpec(sigma_score=True) derives the same via autodiff
+    of log p; exactly 3 cos at g == 0)."""
+    den = jnp.maximum(1.0 + g * g - 2.0 * g * cos_t, 1e-12)
+    return (-2.0 * g / jnp.maximum(1.0 - g * g, 1e-6)
+            - 3.0 * (g - cos_t) / den)
+
+
 def beckmann_wh(alpha, u1, u2):
     t2 = jnp.maximum(-(alpha * alpha) * jnp.log(jnp.maximum(1.0 - u1, 1e-20)),
                      1e-20)
