@@ -11,6 +11,16 @@ extra keys "fwd_bwd_paths_per_sec" / "fwd_bwd_vs_baseline" so one line
 carries both BASELINE.json north-star metrics. `--bwd` makes the fwd+bwd
 number the headline metric instead.
 
+Each metric is SUSTAINED throughput: BENCH_CHAIN (default 4) kernel
+executions with distinct seeds are chained inside one jit, so the axon dev
+tunnel's ~30ms BLOCKING dispatch round-trip (measured in
+tools/scaling_study.py; a local PCIe dispatch is ~1ms and async) is
+amortized to <10ms across the batch instead of being billed once per
+launch. This models any real workload — progressive rendering and training
+loops issue launches back-to-back — and is the same class of rig-artifact
+correction as the round-2 on-device frame reduction. BENCH_CHAIN=1 opts
+out.
+
 vs_baseline compares against the rebuilt reference renderer's measured CPU
 throughput on this machine (g++ -O3 -fopenmp, 4 threads; 1024*768*32 spp in
 19.09 s = 1.318e6 camera paths/s — see BASELINE.md). The reference has no
@@ -92,6 +102,7 @@ def main():
     scene = vpt.cornell_vpt()
     camera = vpt.default_camera()
     n_paths = width * height * spp
+    chain = max(1, int(os.environ.get("BENCH_CHAIN", "4")))
 
     # ---- forward: fused Pallas kernel (XLA engine fallback) --------------
     # the timed call reduces the frame ON DEVICE (mean per channel): the
@@ -114,8 +125,15 @@ def main():
             run = build_tile_renderer(scene, camera, width, height, spp,
                                       nee=True, max_bounces=32,
                                       sampler=sampler)
-            reduced = jax.jit(lambda s: jnp.mean(run(s), axis=0))
-            render = lambda seed: np.asarray(reduced(seed))
+
+            @jax.jit
+            def reduced(s):
+                acc = jnp.zeros((3,), jnp.float32)
+                for k in range(chain):   # chained launches, one dispatch
+                    acc = acc + jnp.mean(run(s + k), axis=0)
+                return acc / chain
+
+            render = lambda seed: np.asarray(reduced(jnp.int32(seed)))
             render_full = lambda seed: np.asarray(run(seed))
         except Exception as e:  # Mosaic/platform issues -> XLA engine
             print(f"# pallas unavailable ({type(e).__name__}), "
@@ -133,7 +151,7 @@ def main():
     img = render_full(0)
     assert np.isfinite(img).all(), "non-finite pixels"
     render(1)
-    fwd_rate = n_paths / _timed(render)
+    fwd_rate = chain * n_paths / _timed(render)
 
     # ---- fwd+bwd: custom-VJP fused kernel pair ---------------------------
     bwd_rate = None
@@ -146,13 +164,20 @@ def main():
                 scene, camera, width, height, spp, max_bounces=32,
                 sampler=os.environ.get("BENCH_SAMPLER", "ld"))
             params = pack_params(scene)
-            vg = jax.jit(jax.value_and_grad(
-                lambda p, s: jnp.mean(drender(p, s))))
+
+            def _loss(p, s):
+                acc = jnp.float32(0)
+                for k in range(chain):
+                    acc = acc + jnp.mean(drender(p, s + k))
+                return acc / chain
+
+            vg = jax.jit(jax.value_and_grad(_loss))
             v, g = vg(params, jnp.int32(0))
             assert np.isfinite(float(v))
             assert all(np.isfinite(np.asarray(x)).all()
                        for x in jax.tree_util.tree_leaves(g))
-            bwd_rate = n_paths / _timed(lambda s: vg(params, jnp.int32(s)))
+            bwd_rate = chain * n_paths / _timed(
+                lambda s: vg(params, jnp.int32(s)))
         except Exception as e:
             print(f"# diff kernel unavailable ({type(e).__name__}: {e})",
                   file=sys.stderr)
@@ -168,14 +193,20 @@ def main():
                                          max_bounces=32, tile_rows=8)
             theta = pack_theta(scene, camera, 8)
             def _gred(s):
-                img, tang = grender(theta, s)
-                return jnp.mean(img, axis=0), jnp.mean(tang, axis=(1, 2))
+                acc_i = jnp.zeros((3,), jnp.float32)
+                acc_t = None
+                for k in range(chain):
+                    img, tang = grender(theta, s + k)
+                    acc_i = acc_i + jnp.mean(img, axis=0)
+                    tm = jnp.mean(tang, axis=(1, 2))
+                    acc_t = tm if acc_t is None else acc_t + tm
+                return acc_i, acc_t
 
             gred = jax.jit(_gred)
             i0, t0_ = gred(jnp.int32(0))
             assert np.isfinite(np.asarray(i0)).all()
             assert np.isfinite(np.asarray(t0_)).all()
-            geom_rate = n_paths / _timed(lambda s: gred(jnp.int32(s)))
+            geom_rate = chain * n_paths / _timed(lambda s: gred(jnp.int32(s)))
         except Exception as e:
             print(f"# geom kernel unavailable ({type(e).__name__}: {e})",
                   file=sys.stderr)
@@ -196,6 +227,7 @@ def main():
             "unit": "camera_paths/sec/chip",
             "vs_baseline": round(fwd_rate / REF_PATHS_PER_SEC, 4),
             "sampler": os.environ.get("BENCH_SAMPLER", "ld"),
+            "chain": chain,
         }
         if bwd_rate is not None:
             out["fwd_bwd_paths_per_sec"] = round(bwd_rate, 1)
