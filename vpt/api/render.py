@@ -184,6 +184,13 @@ def render(scene: Scene, camera: cam.Camera, cfg: RenderConfig,
     without the clamp — tone mapping lives in vpt.io)."""
     from ..integrators.volume import VOLUME_INTEGRATORS as _VOL
 
+    if (scene.medium.density is not None
+            and cfg.integrator not in _VOL):
+        raise NotImplementedError(
+            "heterogeneous media (Medium.density) are supported by the "
+            "free-flight volume family; the legacy/surface/marcher "
+            "reference-parity integrators are homogeneous by definition")
+
     if cfg.renderer == "pallas":
         if differentiable:
             raise ValueError(

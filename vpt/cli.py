@@ -107,7 +107,8 @@ def main(argv=None) -> int:
         scene,
         medium=Medium(jnp.asarray(sigma_a, scene.radius.dtype),
                       jnp.asarray(sigma_s, scene.radius.dtype),
-                      jnp.asarray(g, scene.radius.dtype)),
+                      jnp.asarray(g, scene.radius.dtype),
+                      scene.medium.density),
     )
     camera = file_cam if file_cam is not None else vpt.default_camera()
     if args.dump_scene:

@@ -38,6 +38,7 @@ class Tag:
     AREA = 12             # area-light surface sample
     MARCH = 13            # ray-marching per-segment draws
     MIS = 14              # subkey root for the whole MIS block of a bounce
+    DELTA = 15            # delta-tracking null-collision draws (hetero media)
 
 
 def fold(key: jax.Array, *tags) -> jax.Array:

@@ -83,7 +83,8 @@ def apply_params(scene: Scene, camera: cam.Camera, p: dict):
         albedo=p["albedo"],
         radiance=p["radiance"],
         center=p["center"],
-        medium=Medium(p["sigma_a"], p["sigma_s"], scene.medium.g),
+        medium=Medium(p["sigma_a"], p["sigma_s"], scene.medium.g,
+                      scene.medium.density),
     )
     camera = dataclasses.replace(
         camera,

@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from ..core import rng
 from ..core import vecmath as vm
 from ..geometry import intersect as geo
+from ..media import density as den
 from ..media import medium as med
 from ..media import mis as mis_mod
 from ..media import nee as nee_mod
@@ -169,6 +170,21 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
     sigma_a = scene.medium.sigma_a
     sigma_s = scene.medium.sigma_s
     sigma_t = sigma_a + sigma_s
+    # heterogeneous density field (media/density.py; ours — the reference
+    # medium is homogeneous). Supported by the free-flight family: the PBRT
+    # cancellation carries over because sigma_a/sigma_s share the density.
+    field = scene.medium.density
+    if field is not None:
+        if spec.distance != FREE:
+            raise NotImplementedError(
+                "heterogeneous media support the free-flight family only "
+                "(equi-angular pdf shaping toward a light is a homogeneous-"
+                "transmittance construction, vptShadeMethods.h:1093)")
+        if spec.sigma_score:
+            raise NotImplementedError(
+                "sigma_score accumulates homogeneous log-densities; use "
+                "the reparameterized analytic-inversion gradient "
+                "(exp_height) or FD training for heterogeneous media")
     cp = spec.continue_prob
     q = 1.0 - cp
     N = st.o.shape[0]
@@ -184,7 +200,12 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
     # 1044-1048)
     hit, t, obj_id = geo.nearest_hit(st.o, st.d, scene)
     t_eff = jnp.where(hit, t, geo.BIG)
-    tr_actual = jnp.where(hit, jnp.exp(-sigma_t * t), 0.0)
+    if field is None:
+        tr_actual = jnp.where(hit, jnp.exp(-sigma_t * t), 0.0)
+    else:
+        tr_actual = jnp.where(
+            hit, jnp.exp(-den.optical_depth(field, sigma_t, st.o, st.d, t)),
+            0.0)
     xs = st.o + t_eff[:, None] * st.d
     nrm = vm.normalize(xs - scene.center[obj_id], eps=1e-20)
 
@@ -203,14 +224,29 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
     # --- distance sampling & surface/medium event
     u_dist = rng.uniform(rng.fold(kb, rng.Tag.DISTANCE), (N,), dtype)
     if spec.distance == FREE:
-        d_s = dist.free_flight_sample(sigma_t, u_dist)
+        if field is None:
+            d_s = dist.free_flight_sample(sigma_t, u_dist)
+            dist_pdf = dist.free_flight_pdf(sigma_t, d_s)
+        else:
+            # heterogeneous free flight: closed-form CDF inversion
+            # (exp_height) or delta tracking (blobs); the pdf never appears
+            # explicitly — every weight below is in PBRT-cancelled form
+            d_s = den.sample_distance(field, sigma_t, st.o, st.d, u_dist,
+                                      rng.fold(kb, rng.Tag.DELTA), t_eff)
+            dist_pdf = None
         if spec.sigma_score:
             # geometry detached: the sigma-gradient of the sampling density
             # is carried by the score term instead of reparameterization
             d_s = jax.lax.stop_gradient(d_s)
         surface_event = (d_s > t_eff) & hit
+        if field is not None:
+            # heterogeneous media can ESCAPE (density decays to vacuum and
+            # the flight never scatters, d_s == BIG): on a surface miss the
+            # lane dies instead of scattering at a fictitious far point.
+            # (A homogeneous free flight is always finite — the reference
+            # scatters every missed ray, vptShadeMethods.h:1328.)
+            alive = alive & ((d_s < 0.5 * geo.BIG) | surface_event)
         xt = st.o + d_s[:, None] * st.d
-        dist_pdf = dist.free_flight_pdf(sigma_t, d_s)
     else:
         if spec.clamped_ea:
             x0, D, th_a, th_b = dist.equi_angular_params(light_center, st.o, st.d, xs)
@@ -226,7 +262,8 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
         surface_event = (u_event <= tr_actual) & hit
 
     # pSuccess = dist_pdf * (1 - Tr) (vptShadeMethods.h:977, 1093)
-    pdf_success = dist_pdf * jnp.maximum(1.0 - tr_actual, 1e-20)
+    pdf_success = (None if dist_pdf is None
+                   else dist_pdf * jnp.maximum(1.0 - tr_actual, 1e-20))
 
     # --- score accumulation (see sigma_score on IntegratorSpec) ----------
     if spec.sigma_score:
@@ -271,20 +308,27 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
             ld_partial = jnp.zeros((N, 3), dtype)
             for e in scene.emitter_idx:
                 ec = jnp.broadcast_to(scene.center[e], xs.shape)
-                trs_e = med.transmittance(xs, ec, sigma_t)
+                if field is None:
+                    trs_e = med.transmittance(xs, ec, sigma_t)
+                else:
+                    trs_e = den.transmittance_between(field, sigma_t, xs, ec)
                 ld_partial = ld_partial + nee_mod.plight(
                     scene, obj_id, xs, nrm, st.d,
                     scene.radiance[e], ec, scene.alpha[obj_id],
                 ) * trs_e[:, None]
         else:
-            trs = med.transmittance(xs, light_center, sigma_t)
+            if field is None:
+                trs = med.transmittance(xs, light_center, sigma_t)
+            else:
+                trs = den.transmittance_between(field, sigma_t, xs,
+                                                light_center)
             ld_partial = nee_mod.plight(
                 scene, obj_id, xs, nrm, st.d,
                 scene.radiance[idsource], light_center, scene.alpha[obj_id],
             ) * (trs / prob_source)[:, None]
         ld_mis = mis_mod.mis_v2(
             scene, obj_id, xs, nrm, st.d, scene.alpha[obj_id],
-            rng.fold(kb, rng.Tag.MIS), sigma_t,
+            rng.fold(kb, rng.Tag.MIS), sigma_t, field=field,
         )
         L = L + jnp.where(
             shade[:, None], (ld_partial + ld_mis) * st.tp * (1.0 / cp), 0.0
@@ -298,7 +342,10 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
 
     # --- MEDIUM branch --------------------------------------------------
     medium = alive & ~surface_event
-    t_xt = med.transmittance(st.o, xt, sigma_t)
+    # Tr(o -> xt): only consumed by the EA family and the quirky implicit
+    # free weight, both of which take the heterogeneous cancelled forms
+    # below instead
+    t_xt = med.transmittance(st.o, xt, sigma_t) if field is None else None
     u_c1, u_c2 = rng.uniform(rng.fold(kb, rng.Tag.NEE_CONE), (2, N), dtype)
     u_p1, u_p2 = rng.uniform(rng.fold(kb, rng.Tag.PHASE), (2, N), dtype)
     # HG anisotropy (Medium.g, 0 = the reference's isotropic medium): the
@@ -334,13 +381,13 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
                         scene, xt, jnp.full((N,), e, jnp.int32), sigma_t,
                         1.0, ue1, ue2,
                         physical_point_nee=spec.physical_point_nee,
-                        d_in=st.d, g=g_hg,
+                        d_in=st.d, g=g_hg, field=field,
                     )
             else:
                 ld_med = nee_mod.free_single_scattering(
                     scene, xt, idsource, sigma_t, prob_source, u_c1, u_c2,
                     physical_point_nee=spec.physical_point_nee,
-                    d_in=st.d, g=g_hg,
+                    d_in=st.d, g=g_hg, field=field,
                 )
             L = L + jnp.where(
                 medium[:, None], ld_med * st.tp * (albedo_ratio / cp), 0.0
@@ -349,12 +396,19 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
         elif spec.physical:
             # textbook weight: the medium event IS d < t under the full
             # exponential, so sigma_s*T/ffProb cancels to sigma_s/sigma_t
-            # (quirk 2 on IntegratorSpec.physical)
+            # (quirk 2 on IntegratorSpec.physical) — heterogeneous too:
+            # sigma_a/sigma_s share the density field
             tp_medium = st.tp * (albedo_ratio / cp)
         else:
             # implicit free: sigma_s * T / (cp * ffProb * (1 - Tr))
             # (vptShadeMethods.h:977,1006)
-            w = sigma_s * t_xt / (cp * pdf_success)
+            if field is None:
+                w = sigma_s * t_xt / (cp * pdf_success)
+            else:
+                # same weight, PBRT-cancelled: the heterogeneous pdf
+                # sigma_t(xt) Tr(xt) cancels sigma_s(xt) Tr(xt) to the
+                # constant albedo ratio; the quirky (1 - Tr) division stays
+                w = albedo_ratio / (cp * jnp.maximum(1.0 - tr_actual, 1e-20))
             tp_medium = st.tp * w[:, None]
     else:
         if spec.nee:

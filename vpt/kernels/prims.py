@@ -545,6 +545,121 @@ def bsdf_pdf_for_dir(at, n, wo, wi, u_flip):
                      jnp.where(at["is_die"], pdf_d, pdf_l))
 
 
+# --- heterogeneous density fields (media/density.py, baked form) ----------
+# fc is the python-const structure from wavefront._scene_consts:
+#   {"kind": "exp_height", "params": (k, y0), "majorant": m, "max_null": n}
+#   {"kind": "blobs", "params": ((cx,cy,cz,r,w), ...), ...}
+# Same formulas as media/density.py (incl. the clamped-exponent difference
+# form and the A&S erf polynomial), so kernel/engine parity is exact by
+# construction.
+
+def erf_poly(x):
+    """A&S 7.1.26 erf (max abs err 1.5e-7); exp-only, Mosaic-lowerable."""
+    s = jnp.where(x >= 0.0, 1.0, -1.0)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    y = 1.0 - t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429)))) * jnp.exp(-a * a)
+    return s * y
+
+
+def field_density(fc, x):
+    """Density multiplier d(x); x is a list of 3 lane arrays."""
+    if fc["kind"] == "exp_height":
+        k, y0 = fc["params"]
+        return jnp.exp(jnp.clip(-k * (x[1] - y0), -80.0, 80.0))
+    dens = None
+    for (cx, cy, cz, r, w) in fc["params"]:
+        dx = [x[0] - cx, x[1] - cy, x[2] - cz]
+        g = w * jnp.exp(-0.5 * dot3(dx, dx) * (1.0 / (r * r)))
+        dens = g if dens is None else dens + g
+    return dens
+
+
+_SQRT_HALF = math.sqrt(0.5)
+_SQRT_HALF_PI = math.sqrt(0.5 * math.pi)
+
+
+def field_tau(fc, sigma_t, o, d, t):
+    """Closed-form optical depth sigma_t * int_0^t density along unit d
+    (media/density.optical_depth, python-const field params)."""
+    if fc["kind"] == "exp_height":
+        k, y0 = fc["params"]
+        d0 = jnp.exp(jnp.clip(-k * (o[1] - y0), -80.0, 80.0))
+        d_end = jnp.exp(jnp.clip(-k * (o[1] + t * d[1] - y0), -80.0, 80.0))
+        m = k * d[1]
+        const = jnp.abs(m) < 1e-6
+        safe_m = jnp.where(const, 1.0, m)
+        return sigma_t * jnp.where(const, d0 * t, (d0 - d_end) / safe_m)
+    tau = None
+    for (cx, cy, cz, r, w) in fc["params"]:
+        oc = [cx - o[0], cy - o[1], cz - o[2]]
+        a = dot3(oc, d)
+        b2 = jnp.maximum(dot3(oc, oc) - a * a, 0.0)
+        inv_r = 1.0 / r
+        amp = jnp.exp(-0.5 * b2 * (inv_r * inv_r)) * (r * _SQRT_HALF_PI * w)
+        hi = erf_poly((t - a) * (inv_r * _SQRT_HALF))
+        lo = erf_poly(a * (inv_r * _SQRT_HALF))
+        g = amp * (hi + lo)
+        tau = g if tau is None else tau + g
+    return sigma_t * tau
+
+
+def field_tr_toward(fc, sigma_t, x, target_dir, dist):
+    """exp(-tau) from x along unit target_dir for dist — the heterogeneous
+    replacement for exp(-sigma_t * dist) in NEE/MIS factors."""
+    return jnp.exp(-field_tau(fc, sigma_t, x, target_dir, dist))
+
+
+def field_sample_free(fc, sigma_t, o, d, u, rng, t_cap):
+    """Heterogeneous free-flight distance (media/density.sample_distance,
+    baked): closed-form CDF inversion for exp_height (uses the single
+    uniform u); delta (Woodcock) tracking for blobs (consumes 2 PCG draws
+    per null step from `rng`, a static fc["max_null"]-step fori with the
+    stream threaded through the carry so all lanes stay lockstep)."""
+    if fc["kind"] == "exp_height":
+        k, y0 = fc["params"]
+        d0 = jnp.exp(jnp.clip(-k * (o[1] - y0), -80.0, 80.0))
+        m = k * d[1]
+        tau_star = -jnp.log1p(-u)
+        a = jnp.maximum(sigma_t * d0, 1e-30)
+        const = jnp.abs(m) < 1e-6
+        safe_m = jnp.where(const, 1.0, m)
+        arg = -tau_star * safe_m / a
+        escapes = (~const) & (arg <= -1.0)
+        t_gen = -jnp.log1p(jnp.where(escapes, -0.5, arg)) / safe_m
+        t_const = tau_star / a
+        t_fin = jnp.where(escapes, BIG, jnp.where(const, t_const, t_gen))
+        return jnp.minimum(t_fin, BIG)
+
+    maj = fc["majorant"]
+    inv_maj_rate = 1.0 / (sigma_t * maj)
+    inv_maj = 1.0 / maj
+
+    def body(i, carry):
+        t, done, s = carry
+        r = Pcg(s)
+        u1, u2 = r(), r()
+        step = -jnp.log1p(-u1) * inv_maj_rate
+        t_new = t + step
+        x = [o[j] + t_new * d[j] for j in range(3)]
+        accept = u2 < field_density(fc, x) * inv_maj
+        alive_mask = done == 0
+        done = jnp.where(accept | (t_new > t_cap), 1, done)
+        t = jnp.where(alive_mask, t_new, t)
+        return t, done, r.s
+
+    z = jnp.zeros_like(o[0])
+    t, done, s = jax.lax.fori_loop(
+        0, int(fc["max_null"]), body,
+        (z, jnp.zeros_like(o[0], jnp.int32), rng.s))
+    rng.s = s
+    # exhausted flights ESCAPE (media/density._sample_delta: a partial-t
+    # vacuum scatter would be heavy-tailed); bias ~0 once max_null steps
+    # span the dense region
+    return jnp.where(done > 0, t, BIG)
+
+
 def power_h(f, g):
     """f^2 / (f^2 + g^2), one division (div is ~3.6x an fma on the VPU,
     tools/vpu_microbench.py). Clips keep f^2+g^2 inside f32 range; the 1e-37

@@ -105,6 +105,22 @@ def _scene_consts(scene: Scene):
     # cascade needs the VPT variant + multipleT (vptShadeMethods.h:66-72)
     s["vol"] = tuple(i for i, m in enumerate(s["mat"])
                      if m == VOLUME_BOUNDARY)
+    # heterogeneous density field (media/density.py), baked like the rest
+    # of the scene: kind/params/majorant become python consts folded into
+    # the kernel arithmetic (prims.field_* helpers)
+    fld = scene.medium.density
+    if fld is None:
+        s["field"] = None
+    else:
+        p = np.asarray(fld.params, np.float64)
+        if fld.kind == "exp_height":
+            params = (float(p[0]), float(p[1]))
+        else:
+            params = tuple(tuple(float(v) for v in row)
+                           for row in p.reshape(-1, 5))
+        s["field"] = {"kind": fld.kind, "params": params,
+                      "majorant": float(fld.majorant),
+                      "max_null": int(fld.max_null)}
     return s
 
 
@@ -143,6 +159,11 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
         raise ValueError(f"unknown sampler {sampler!r}")
     scatter = bool(scatter_tiles)
     sc = _scene_consts(scene)
+    fc = sc["field"]        # heterogeneous density (None = homogeneous)
+    if fc is not None and distance != "free":
+        raise NotImplementedError(
+            "heterogeneous media support the free-flight kernel family "
+            "only (matches the engine, integrators/engine.py)")
     S = len(sc["r"])
     cp = float(continue_prob)
     q = 1.0 - cp
@@ -284,7 +305,13 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                 # 1/fpdf of the cone pdf, division-free; power_h_invf takes
                 # the reciprocal directly
                 fpdf_inv = pr.TWO_PI * jnp.maximum(1.0 - cos_max, 1e-12)
-                tr = jnp.exp(-sigma_t * normcx)
+                if sc["field"] is None:
+                    tr = jnp.exp(-sigma_t * normcx)
+                else:
+                    # MISv2's volumetric light-strategy attenuation with the
+                    # heterogeneous closed-form optical depth
+                    tr = pr.field_tr_toward(sc["field"], sigma_t, xs, wc,
+                                            normcx)
                 w_vis = jnp.where(visible, tr * pr.dot3(n, wi) * fpdf_inv,
                                   0.0)
                 gpdf = pr.bsdf_pdf_for_dir(at, n, wo, wi, rng())
@@ -368,9 +395,13 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                 phase = pr.hg_phase_const(pr.dot3(d, wl), g_hg)
             else:
                 phase = INV_4PI     # exact const: the reference's 1/4pi
+            if sc["field"] is None:
+                tr_l = jnp.exp(-sigma_t * t)
+            else:
+                tr_l = pr.field_tr_toward(sc["field"], sigma_t, xt, wl, t)
             # phase / cone_pdf = phase * 2pi * (1 - cos_max): no div
             w = jnp.where(visible,
-                          jnp.exp(-sigma_t * t)
+                          tr_l
                           * (phase * pr.TWO_PI)
                           * jnp.maximum(1.0 - cos_max, 1e-12),
                           0.0)
@@ -403,12 +434,27 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                     depth == 0,
                     _strat(A3, off_w, samples.astype(jnp.float32)), u_dist)
             if distance == "free":
-                d_s = -jnp.log1p(-u_dist) * (1.0 / sigma_t)
+                if fc is None:
+                    d_s = -jnp.log1p(-u_dist) * (1.0 / sigma_t)
+                    tr_actual = jnp.where(hit, jnp.exp(-sigma_t * t), 0.0)
+                else:
+                    # heterogeneous free flight: analytic CDF inversion
+                    # (exp_height) or in-kernel delta tracking (blobs);
+                    # every weight below is already in PBRT-cancelled form
+                    d_s = pr.field_sample_free(fc, sigma_t, o, d, u_dist,
+                                               rng, t_eff)
+                    tr_actual = jnp.where(
+                        hit, jnp.exp(-pr.field_tau(fc, sigma_t, o, d, t_eff)),
+                        0.0)
                 surface = (d_s > t_eff) & hit
+                if fc is not None:
+                    # heterogeneous flights can ESCAPE to vacuum (d_s ==
+                    # BIG on a surface miss): the lane dies instead of
+                    # scattering at a fictitious far point (engine parity)
+                    alive = alive & ((d_s < 0.5 * BIG) | surface)
                 xt = [o[i] + d_s * d[i] for i in range(3)]
                 pdf_success = None          # PBRT cancellation (explicit)
                 t_xt = None
-                tr_actual = jnp.where(hit, jnp.exp(-sigma_t * t), 0.0)
             elif distance == "equiangular":
                 # equi-angular (equiAngularParams2 + sample/pdf,
                 # volumetricBasicFunctions.h:209-223, vptSamplingFunctions.h:54-62)
@@ -466,7 +512,12 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
 
             if nee:
                 ldp, dist_l = plight_term(at, xs, nrm, d, lc, lrad)
-                trs = jnp.exp(-sigma_t * dist_l)   # same xs-light distance
+                if fc is None:
+                    trs = jnp.exp(-sigma_t * dist_l)  # same xs-light distance
+                else:
+                    inv_dl = 1.0 / jnp.maximum(dist_l, 1e-20)
+                    wlight = [(lc[i] - xs[i]) * inv_dl for i in range(3)]
+                    trs = pr.field_tr_toward(fc, sigma_t, xs, wlight, dist_l)
                 ldm = mis_v2(rng, at, xs, nrm, d)
                 for i in range(3):
                     ld = ldp[i] * (trs * n_em_f) + ldm[i]

@@ -53,7 +53,8 @@ def power_heuristic(fpdf, gpdf):
     return jnp.where(f > 0.0, 1.0 / (1.0 + ratio * ratio), 0.0)
 
 
-def _light_strategy(scene: Scene, obj_id, x, n, wray, alpha, key, sigma_t):
+def _light_strategy(scene: Scene, obj_id, x, n, wray, alpha, key, sigma_t,
+                    field=None):
     """Cone-sample every spherical emitter (muestreoSA -> solidAngle,
     samplingFunctions.h:238-247 / 163-206), weight against the BSDF pdf.
 
@@ -95,8 +96,17 @@ def _light_strategy(scene: Scene, obj_id, x, n, wray, alpha, key, sigma_t):
     fpdf = ds.cone_pdf(cos_max)
     f = le * fr * (vm.dot(n[:, None, :], wi) / fpdf)[..., None]
     if sigma_t is not None:
-        # MISv2's volumetric attenuation of the light strategy (:107)
-        tr = jnp.exp(-sigma_t * normcx)
+        # MISv2's volumetric attenuation of the light strategy (:107);
+        # heterogeneous media swap Beer-Lambert for the closed-form optical
+        # depth toward the light center (media/density.py)
+        if field is None:
+            tr = jnp.exp(-sigma_t * normcx)
+        else:
+            from . import density as den
+            tr = jnp.exp(-den.optical_depth(field, sigma_t,
+                                            jnp.broadcast_to(x[:, None, :],
+                                                             wc.shape),
+                                            wc, normcx))
         f = f * tr[..., None]
 
     gpdf = bx.bsdf_pdf_for_direction(
@@ -184,13 +194,17 @@ def _bsdf_strategy(scene: Scene, obj_id, x, n, wray, alpha, key):
     return g * wg[..., None]
 
 
-def mis(scene: Scene, obj_id, x, n, wray, alpha, key, sigma_t=None):
+def mis(scene: Scene, obj_id, x, n, wray, alpha, key, sigma_t=None,
+        field=None):
     """MIS (misSamplingFunctions.h:19-93) when sigma_t is None, else MISv2
-    (:96-170). Returns the combined NEE estimate, (N, 3)."""
-    light = _light_strategy(scene, obj_id, x, n, wray, alpha, key, sigma_t)
+    (:96-170). field: heterogeneous density (media/density.py), None =
+    homogeneous. Returns the combined NEE estimate, (N, 3)."""
+    light = _light_strategy(scene, obj_id, x, n, wray, alpha, key, sigma_t,
+                            field=field)
     bsdf = _bsdf_strategy(scene, obj_id, x, n, wray, alpha, key)
     return light + bsdf
 
 
-def mis_v2(scene: Scene, obj_id, x, n, wray, alpha, key, sigma_t):
-    return mis(scene, obj_id, x, n, wray, alpha, key, sigma_t=sigma_t)
+def mis_v2(scene: Scene, obj_id, x, n, wray, alpha, key, sigma_t, field=None):
+    return mis(scene, obj_id, x, n, wray, alpha, key, sigma_t=sigma_t,
+               field=field)

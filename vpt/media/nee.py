@@ -90,7 +90,7 @@ def plight(scene: Scene, obj_id, x, n, wray, intensity, light_p, alpha):
 
 def _combine_point_sphere(scene: Scene, xt, idsource, sigma_t, u1, u2,
                           physical_point_nee: bool = False,
-                          d_in=None, g=0.0):
+                          d_in=None, g=0.0, field=None):
     """Reference branch combination incl. the missing-else overwrite: for
     r == 0 sources the point value survives ONLY when the degenerate cone
     ray misses the point sphere (see the quirk note below).
@@ -132,7 +132,13 @@ def _combine_point_sphere(scene: Scene, xt, idsource, sigma_t, u1, u2,
     slack = 1024.0 * float(jnp.finfo(xt.dtype).eps)
     vis_point = (t > wc_mag * (1.0 - slack)) | ~hit
     d2 = jnp.maximum(wc_mag * wc_mag, 1e-20)
-    point = le * (med.transmittance(xt, center, sigma_t) * phase_pt / d2)[..., None]
+    if field is None:
+        tr_pt = med.transmittance(xt, center, sigma_t)
+    else:
+        # heterogeneous Beer-Lambert toward the light (media/density.py)
+        from . import density as den
+        tr_pt = den.transmittance_between(field, sigma_t, xt, center)
+    point = le * (tr_pt * phase_pt / d2)[..., None]
     point = jnp.where(vis_point[..., None], point, 0.0)
     if not physical_point_nee:
         # missing-else overwrite quirk: the reference's cone branch has no `else`
@@ -144,7 +150,12 @@ def _combine_point_sphere(scene: Scene, xt, idsource, sigma_t, u1, u2,
 
     # sphere branch (visibility by id match; Tr over the hit distance)
     vis_sphere = hit & (hit_id == idsource)
-    ls = le * (jnp.exp(-sigma_t * t) * phase_sph)[..., None]
+    if field is None:
+        tr_sph = jnp.exp(-sigma_t * t)
+    else:
+        from . import density as den
+        tr_sph = jnp.exp(-den.optical_depth(field, sigma_t, xt, wl, t))
+    ls = le * (tr_sph * phase_sph)[..., None]
     sphere = jnp.where(
         vis_sphere[..., None], ls / jnp.maximum(prob_wl, 1e-20)[..., None], 0.0)
 
@@ -154,26 +165,32 @@ def _combine_point_sphere(scene: Scene, xt, idsource, sigma_t, u1, u2,
 def single_scattering(scene: Scene, xt, idsource, sigma_t, sigma_s,
                       transmittance_xt, prob_source, u1, u2,
                       physical_point_nee: bool = False,
-                      d_in=None, g=0.0):
+                      d_in=None, g=0.0, field=None):
     """NEE from a medium point with explicit T * sigma_s weighting — the
     equi-angular-family estimator (volumetricBasicFunctions.h:225-281).
     d_in/g: incoming propagation direction + HG anisotropy (g=0 keeps the
-    reference's isotropic 1/4pi exactly)."""
+    reference's isotropic 1/4pi exactly). field: heterogeneous density
+    (media/density.py), None = homogeneous."""
     ls = _combine_point_sphere(scene, xt, idsource, sigma_t, u1, u2,
-                               physical_point_nee, d_in=d_in, g=g)
+                               physical_point_nee, d_in=d_in, g=g,
+                               field=field)
     w = jnp.asarray(transmittance_xt * sigma_s / prob_source)
     return ls * w[..., None]
 
 
 def free_single_scattering(scene: Scene, xt, idsource, sigma_t, prob_source,
                            u1, u2, physical_point_nee: bool = False,
-                           d_in=None, g=0.0):
+                           d_in=None, g=0.0, field=None):
     """NEE from a medium point WITHOUT the T * sigma_s factor — those cancel
     against the free-flight pdf (the PBRT simplification used by the active
-    integrator, volumetricBasicFunctions.h:284-340, vptShadeMethods.h:1248).
+    integrator, volumetricBasicFunctions.h:284-340, vptShadeMethods.h:1248;
+    the cancellation survives heterogeneity because sigma_a and sigma_s
+    share the density — see media/density.py).
     d_in/g: incoming propagation direction + HG anisotropy (g=0 keeps the
-    reference's isotropic 1/4pi exactly)."""
+    reference's isotropic 1/4pi exactly). field: heterogeneous density
+    (media/density.py), None = homogeneous."""
     ls = _combine_point_sphere(scene, xt, idsource, sigma_t, u1, u2,
-                               physical_point_nee, d_in=d_in, g=g)
+                               physical_point_nee, d_in=d_in, g=g,
+                               field=field)
     inv_p = jnp.asarray(1.0 / prob_source)
     return ls * inv_p[..., None]

@@ -29,18 +29,25 @@ VOLUME_BOUNDARY = 3
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Medium:
-    """Homogeneous participating medium (sigma_t = sigma_a + sigma_s).
+    """Participating medium (sigma_t = sigma_a + sigma_s).
 
     g: Henyey-Greenstein anisotropy in (-1, 1); 0 (the default, and the
     reference's only behavior) is isotropic. g != 0 is supported by the
     engine volume family (media/medium.hg_phase) and by the fused Pallas
     render + diff kernels (baked at build time, kernels/prims.hg_dir);
     only the geometric dual kernel (kernels/geom.py) is isotropic-only
-    and raises."""
+    and raises.
+
+    density: optional spatially-varying density field (media/density.py;
+    ours — the reference medium is strictly homogeneous). None (default)
+    is the homogeneous medium. When set, sigma_a(x)/sigma_s(x) =
+    sigma_a/sigma_s * density(x); supported by the free-flight engine
+    family and the fused render kernel."""
 
     sigma_a: jnp.ndarray
     sigma_s: jnp.ndarray
     g: jnp.ndarray | float = 0.0
+    density: "object | None" = None     # media.density.DensityField
 
     @property
     def sigma_t(self) -> jnp.ndarray:
@@ -93,7 +100,11 @@ class Scene:
             radiance=f(self.radiance),
             eta=f(self.eta), kappa=f(self.kappa), alpha=f(self.alpha),
             medium=Medium(f(self.medium.sigma_a), f(self.medium.sigma_s),
-                          f(jnp.asarray(self.medium.g))),
+                          f(jnp.asarray(self.medium.g)),
+                          self.medium.density if self.medium.density is None
+                          else dataclasses.replace(
+                              self.medium.density,
+                              params=f(self.medium.density.params))),
         )
 
 
@@ -102,6 +113,7 @@ def make_scene(
     sigma_a: float = 0.001,
     sigma_s: float = 0.009,
     g: float = 0.0,
+    density=None,
     dtype=jnp.float32,
 ) -> Scene:
     """Build a Scene from (radius, center, albedo, radiance, material, eta,
@@ -138,7 +150,7 @@ def make_scene(
         radiance=as_(radiance), material=jnp.asarray(material),
         eta=as_(eta), kappa=as_(kappa), alpha=as_(alpha),
         medium=Medium(jnp.asarray(sigma_a, dtype), jnp.asarray(sigma_s, dtype),
-                      jnp.asarray(g, dtype)),
+                      jnp.asarray(g, dtype), density),
         emitter_idx=emitter_idx, mis_light_idx=mis_light_idx,
         point_idx=point_idx,
     )
@@ -281,8 +293,58 @@ def medium_shell(dtype=jnp.float32) -> Scene:
     )
 
 
+def foggy_cornell(dtype=jnp.float32) -> Scene:
+    """Heterogeneous capability scene (ours): the reference's active Cornell
+    geometry immersed in GROUND FOG — an exp_height density field
+    d(x) = exp(-k (y - y0)) anchored at the floor (y0 = -40.8, k = 0.06:
+    density 1.0 at the floor, ~0.007 at the ceiling) with a denser medium
+    (sigma_t = 0.04). Free-flight distances invert in closed form
+    (media/density.py); transmittance is a single expm1."""
+    from ..media.density import exp_height
+
+    return make_scene(
+        list(CORNELL_VPT_SPHERES), sigma_a=0.004, sigma_s=0.036,
+        # majorant: the floor wall is a giant sphere whose surface dips
+        # ~0.012 below y=-40.8 at the side walls — 1.01 covers it
+        density=exp_height(k=0.06, y0=-40.8, majorant=1.01, dtype=dtype),
+        dtype=dtype,
+    )
+
+
+def blob_cloud(dtype=jnp.float32) -> Scene:
+    """Heterogeneous capability scene (ours): three overlapping Gaussian
+    density blobs ("smoke puffs") hanging between the camera and an open
+    two-sphere arrangement lit by a point light (geometry from the
+    light_near_camera alternate, Sphere.cpp:49-62). Distance sampling is
+    delta (Woodcock) tracking against the majorant; transmittance is the
+    closed-form erf line integral (media/density.py)."""
+    from ..media.density import blobs
+
+    return make_scene(
+        [
+            (12.0, (-18, -8, 150), (0.75, 0.3, 0.2), _Z3, LAMBERT, _Z3, _Z3, 0.0),
+            (12.0, (18, -8, 160), (0.2, 0.4, 0.75), _Z3, LAMBERT, _Z3, _Z3, 0.0),
+            # sphere light (not a point source: the reference's missing-else
+            # quirk zeroes point-light medium NEE, media/nee.py — a sphere
+            # emitter keeps the in-scattered blob glow on the default
+            # estimator)
+            (3.0, (0, 35, 190), _Z3, (130, 130, 115), LAMBERT, _Z3, _Z3, 0.0),
+        ],
+        sigma_a=0.004, sigma_s=0.04,
+        density=blobs([
+            # cx, cy, cz, radius, weight
+            (-8.0, 2.0, 178.0, 9.0, 0.9),
+            (8.0, -2.0, 170.0, 12.0, 0.7),
+            (0.0, 10.0, 162.0, 8.0, 1.0),
+        ], majorant=1.8, dtype=dtype),
+        dtype=dtype,
+    )
+
+
 SCENES = {
     "cornell_vpt": cornell_vpt,
+    "foggy_cornell": foggy_cornell,
+    "blob_cloud": blob_cloud,
     "medium_shell": medium_shell,
     "sigma_comparison": sigma_comparison,
     "light_near_camera": light_near_camera,
