@@ -248,3 +248,82 @@ def test_pallas_hetero_rejects_equiangular():
     with pytest.raises(NotImplementedError):
         build_tile_renderer(foggy_cornell(), vpt.default_camera(), 16, 8, 4,
                             nee=True, distance="equiangular", interpret=True)
+
+
+def test_engine_hetero_field_params_differentiable():
+    """dL/d(k, y0, sigma_s) through the heterogeneous engine: the analytic
+    exp_height inversion is fully reparameterized, so reverse-mode AD flows
+    through distance sampling and every closed-form tau (detached-event
+    boundary caveat as for homogeneous sigma, engine.py docstring).
+    Denser fog (larger k at y0 anchored BELOW the scene => thinner medium..
+    the sign depends on geometry, so assert finite and nonzero only)."""
+    base = foggy_cornell()
+
+    def loss(params):
+        field = df.DensityField(params=params, kind="exp_height",
+                                majorant=1.01)
+        scene = dataclasses.replace(
+            base, medium=Medium(base.medium.sigma_a, base.medium.sigma_s,
+                                0.0, field))
+        cfg = vpt.RenderConfig(width=12, height=8, spp=4, max_bounces=8,
+                               renderer="scan")
+        img = vpt.render(scene, vpt.default_camera(), cfg,
+                         key=jax.random.PRNGKey(5), differentiable=True)
+        return jnp.mean(img)
+
+    g = jax.grad(loss)(jnp.asarray([0.06, -40.8], jnp.float32))
+    g = np.asarray(g)
+    assert np.isfinite(g).all(), g
+    assert (np.abs(g) > 0).any(), g
+
+
+@pytest.mark.slow
+def test_recover_fog_falloff_crn_fd():
+    """Heterogeneous INVERSE rendering: recover the exp_height fog falloff
+    rate k from images. CRN central differences on the engine (same PRNG
+    key at k-h and k+h: the smooth-chain MC noise cancels to O(h) and the
+    event flips between the probes carry the boundary terms — the round-2
+    fit_geom_fd recipe, BASELINE.md 'Boundary terms'), Adam on an A/B MSE
+    against a fixed-k target render."""
+    import optax
+
+    base = foggy_cornell()
+    K_TRUE = 0.06
+
+    def render_k(k, seed):
+        field = df.DensityField(params=jnp.stack([k, jnp.float32(-40.8)]),
+                                kind="exp_height", majorant=1.01)
+        scene = dataclasses.replace(
+            base, medium=Medium(base.medium.sigma_a, base.medium.sigma_s,
+                                0.0, field))
+        cfg = vpt.RenderConfig(width=24, height=18, spp=32, max_bounces=10,
+                               renderer="scan", seed=0)
+        img = vpt.render(scene, vpt.default_camera(), cfg,
+                         key=jax.random.PRNGKey(seed))
+        # clamped MSE (the round-2 study loss): unclamped MSE is dominated
+        # by emitter-hit speckle and buries the fog signal in noise
+        return jnp.clip(img, 0.0, 1.0)
+
+    target = render_k(jnp.float32(K_TRUE), 1000)
+
+    @jax.jit
+    def fd_grad(k, seed):
+        h = 0.008
+        lp = jnp.mean((render_k(k + h, seed) - target) ** 2)
+        lm = jnp.mean((render_k(k - h, seed) - target) ** 2)
+        return (lp - lm) / (2 * h)
+
+    k = jnp.float32(0.12)
+    opt = optax.adam(optax.exponential_decay(0.01, 10, 0.8))
+    state = opt.init(k)
+    tail = []
+    for step in range(100):
+        g = fd_grad(k, step)
+        upd, state = opt.update(g, state)
+        k = jnp.clip(k + upd, 1e-4, 0.5)
+        if step >= 70:
+            tail.append(float(k))
+    k_rec = float(np.mean(tail))
+    # measured: 0.069 over the Polyak tail (flat curvature near the
+    # optimum bounds the achievable residual at this budget)
+    assert abs(k_rec - K_TRUE) < 0.02, k_rec

@@ -69,3 +69,26 @@ def test_cli_scene_file_and_dump(tmp_path):
     assert main(common + ["--scene-file", str(sf), "--sigma-s", "0.05",
                           "-o", str(out_c)]) == 0
     assert out_c.read_bytes() != out_b.read_bytes()
+
+
+def test_density_field_round_trip(tmp_path):
+    """Heterogeneous scenes (Medium.density) survive the JSON round trip:
+    field kind/params/majorant/max_null and the rendered image match."""
+    import vpt
+    from vpt.scene.io import save_scene, load_scene
+
+    for name in ("foggy_cornell", "blob_cloud"):
+        scene = vpt.SCENES[name]()
+        p = tmp_path / f"{name}.json"
+        save_scene(str(p), scene)
+        loaded, _ = load_scene(str(p))
+        f0, f1 = scene.medium.density, loaded.medium.density
+        assert f1 is not None and f1.kind == f0.kind
+        assert f1.majorant == f0.majorant and f1.max_null == f0.max_null
+        np.testing.assert_allclose(np.asarray(f1.params).ravel(),
+                                   np.asarray(f0.params).ravel(), rtol=1e-6)
+        cfg = vpt.RenderConfig(width=16, height=8, spp=4, max_bounces=6,
+                               renderer="persistent")
+        a = np.asarray(vpt.render(scene, vpt.default_camera(), cfg))
+        b = np.asarray(vpt.render(loaded, vpt.default_camera(), cfg))
+        np.testing.assert_array_equal(a, b)

@@ -135,6 +135,12 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
     if sampler not in ("random", "ld"):
         raise ValueError(f"unknown sampler {sampler!r}")
     sc = _scene_consts(scene)
+    if sc["field"] is not None:
+        raise NotImplementedError(
+            "the differentiable kernel pair is homogeneous-only "
+            "(Medium.density set): the replay backward would need the "
+            "field adjoints; use the forward kernel + FD training or the "
+            "engine for heterogeneous media")
     S = len(sc["r"])
     P = 2 + 6 * S + (1 if diff_g else 0)
     IG = 2 + 6 * S                      # packed index of g when diff_g

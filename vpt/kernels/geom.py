@@ -129,6 +129,11 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
     # anisotropic geometry recovery)
     _reject_anisotropy(scene)
     sc = _scene_consts(scene)
+    if sc["field"] is not None:
+        raise NotImplementedError(
+            "the geometric dual kernel is homogeneous-only (Medium.density "
+            "set): heterogeneous tau would need dual-number erf/expm1 "
+            "chains; use the engine or FD on the forward kernel")
     S = len(sc["r"])
     cp = float(continue_prob)
     q = 1.0 - cp

@@ -65,6 +65,18 @@ def scene_to_dict(scene: Scene, camera: Camera | None = None) -> dict:
     g = float(np.asarray(scene.medium.g))
     if g != 0.0:
         out["g"] = g      # HG anisotropy; omitted when isotropic
+    fld = scene.medium.density
+    if fld is not None:
+        # heterogeneous density field (media/density.py); omitted when
+        # homogeneous
+        p = np.asarray(fld.params, np.float64)
+        out["density"] = {
+            "kind": fld.kind,
+            "params": [list(map(float, row)) for row in p.reshape(
+                -1, p.shape[-1] if p.ndim > 1 else p.shape[0])],
+            "majorant": float(fld.majorant),
+            "max_null": int(fld.max_null),
+        }
     if camera is not None:
         out["camera"] = {
             "origin": list(map(float, np.asarray(camera.origin, np.float64))),
@@ -90,9 +102,22 @@ def scene_from_dict(d: dict, dtype=jnp.float32):
             tuple(s.get("kappa", (0.0, 0.0, 0.0))),
             float(s.get("alpha", 0.0)),
         ))
+    density = None
+    if "density" in d:
+        from ..media.density import DensityField
+
+        dd = d["density"]
+        p = np.asarray(dd["params"], np.float64)
+        if dd["kind"] == "exp_height":
+            p = p.reshape(-1)[:2]
+        density = DensityField(
+            params=jnp.asarray(p, dtype), kind=str(dd["kind"]),
+            majorant=float(dd.get("majorant", 1.0)),
+            max_null=int(dd.get("max_null", 64)))
     scene = make_scene(spheres, sigma_a=float(d.get("sigma_a", 0.001)),
                        sigma_s=float(d.get("sigma_s", 0.009)),
-                       g=float(d.get("g", 0.0)), dtype=dtype)
+                       g=float(d.get("g", 0.0)), density=density,
+                       dtype=dtype)
     camera = None
     if "camera" in d:
         c = d["camera"]
