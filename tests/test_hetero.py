@@ -327,3 +327,151 @@ def test_recover_fog_falloff_crn_fd():
     # measured: 0.069 over the Polyak tail (flat curvature near the
     # optimum bounds the achievable residual at this budget)
     assert abs(k_rec - K_TRUE) < 0.02, k_rec
+
+
+# --------------------------------------------------------------------------
+# Voxel-grid density field (engine-only; media/density.grid)
+# --------------------------------------------------------------------------
+
+def _blob_grid(n=32, lo=-35.0, hi=35.0):
+    """Rasterize the FIELDS['blobs'] analytic field onto an n^3 grid over
+    [lo, hi]^3 — lets every grid test compare against the analytic oracle."""
+    xs = np.linspace(lo, hi, n)
+    gx, gy, gz = np.meshgrid(xs, xs, xs, indexing="ij")
+    pts = jnp.asarray(np.stack([gx, gy, gz], -1))
+    vals = np.asarray(df.density(FIELDS["blobs"], pts))
+    spacing = (hi - lo) / (n - 1)     # linspace sample spacing
+    # voxel CENTERS sit at origin + (i+0.5)*spacing == lo + i*spacing
+    origin = lo - 0.5 * spacing
+    return df.grid(vals, origin=(origin,) * 3, spacing=(spacing,) * 3)
+
+
+def test_grid_trilinear_constant_and_clamp():
+    g = df.grid(np.full((4, 5, 6), 0.7), origin=(0, 0, 0),
+                spacing=(1, 1, 1))
+    pts = jnp.asarray([[1.5, 2.5, 3.0], [0.0, 0.0, 0.0],
+                       [100.0, -100.0, 2.0]])     # inside, corner, outside
+    np.testing.assert_allclose(np.asarray(df.density(g, pts)), 0.7,
+                               rtol=1e-6)
+
+
+def test_grid_density_matches_rasterized_blobs():
+    """Trilinear reconstruction of a smooth field tracks the analytic
+    values inside the grid."""
+    g = _blob_grid(48)
+    rs = np.random.RandomState(2)
+    pts = jnp.asarray(rs.uniform(-30, 30, (256, 3)))
+    got = np.asarray(df.density(g, pts))
+    want = np.asarray(df.density(FIELDS["blobs"], pts))
+    np.testing.assert_allclose(got, want, atol=0.02)
+
+
+def test_grid_optical_depth_matches_quadrature():
+    g = _blob_grid(48)
+    rs = np.random.RandomState(9)
+    o, d, t = _rand_rays(32, rs)
+    sigma_t = 0.05
+    tau = np.asarray(df.optical_depth(g, sigma_t, o, d, t))
+    M = 2001
+    s = np.linspace(0.0, 1.0, M)[:, None] * np.asarray(t)[None, :]
+    x = np.asarray(o)[None] + s[..., None] * np.asarray(d)[None]
+    dens = np.asarray(df.density(g, jnp.asarray(x)))
+    ref = sigma_t * np.trapezoid(dens, s, axis=0)
+    # n_march=32 midpoint rule on a trilinear field: O((t/M)^2) bias
+    np.testing.assert_allclose(tau, ref, rtol=0.03, atol=5e-3)
+
+
+def test_grid_distance_sampling_survival_law():
+    g = _blob_grid(48)
+    sigma_t = 0.08
+    n = 40000
+    o = jnp.broadcast_to(jnp.asarray([0.0, -20.0, 0.0]), (n, 3))
+    dvec = jnp.asarray([0.3, 0.9, 0.2])
+    dvec = dvec / jnp.linalg.norm(dvec)
+    d = jnp.broadcast_to(dvec, (n, 3))
+    d_s = np.asarray(df.sample_distance(
+        g, sigma_t, o, d, jnp.zeros((n,)), jax.random.PRNGKey(4),
+        jnp.full((n,), 1e7, jnp.float32)))
+    for T in (5.0, 15.0, 40.0):
+        emp = float((d_s > T).mean())
+        # analytic-oracle tau (the grid approximates the blobs field)
+        tau = float(df.optical_depth(
+            FIELDS["blobs"], sigma_t, o[:1], d[:1], jnp.asarray([T]))[0])
+        want = math.exp(-tau)
+        assert abs(emp - want) < 0.01, (T, emp, want)
+
+
+@pytest.mark.slow
+def test_engine_grid_render_matches_blobs_render():
+    """End-to-end: rendering with the rasterized grid approximates the
+    analytic blobs render (same scene geometry)."""
+    base = blob_cloud()
+    vals_field = base.medium.density
+    # rasterize the scene's own blob field over its bounding region
+    xs = np.linspace(-40, 40, 48)
+    zs = np.linspace(130, 220, 48)
+    gx, gy, gz = np.meshgrid(xs, xs, zs, indexing="ij")
+    pts = jnp.asarray(np.stack([gx, gy, gz], -1))
+    vals = np.asarray(df.density(vals_field, pts))
+    sx, sz = 80 / 47, 90 / 47          # linspace sample spacing
+    gfield = df.grid(vals, origin=(-40 - sx / 2, -40 - sx / 2,
+                                   130 - sz / 2),
+                     spacing=(sx, sx, sz))
+    gscene = dataclasses.replace(
+        base, medium=Medium(base.medium.sigma_a, base.medium.sigma_s, 0.0,
+                            gfield))
+    a = _render(base, w=24, h=18, spp=32, seed=5)
+    b = _render(gscene, w=24, h=18, spp=32, seed=9)
+    assert np.isfinite(b).all() and (b >= 0).all()
+    assert np.isclose(a.mean(), b.mean(), rtol=0.15), (a.mean(), b.mean())
+
+
+def test_grid_voxel_gradients_flow():
+    """d(render)/d(voxel values) through the engine — differentiable
+    volume reconstruction. Finite and nonzero somewhere."""
+    base = blob_cloud()
+    g0 = _blob_grid(12, lo=-30.0, hi=30.0)
+
+    def loss(vals):
+        field = dataclasses.replace(g0, params=vals)
+        scene = dataclasses.replace(
+            base, medium=Medium(base.medium.sigma_a, base.medium.sigma_s,
+                                0.0, field))
+        cfg = vpt.RenderConfig(width=8, height=6, spp=2, max_bounces=6,
+                               renderer="scan")
+        img = vpt.render(scene, vpt.default_camera(), cfg,
+                         key=jax.random.PRNGKey(2), differentiable=True)
+        return jnp.mean(img)
+
+    g = np.asarray(jax.grad(loss)(g0.params))
+    assert np.isfinite(g).all()
+    assert (np.abs(g) > 0).any()
+
+
+def test_grid_scene_io_round_trip(tmp_path):
+    from vpt.scene.io import save_scene, load_scene
+
+    base = blob_cloud()
+    gfield = _blob_grid(8)
+    scene = dataclasses.replace(
+        base, medium=Medium(base.medium.sigma_a, base.medium.sigma_s, 0.0,
+                            gfield))
+    p = tmp_path / "grid_scene.json"
+    save_scene(str(p), scene)
+    loaded, _ = load_scene(str(p))
+    f1 = loaded.medium.density
+    assert f1.kind == "grid" and f1.params.shape == gfield.params.shape
+    assert f1.grid_origin == gfield.grid_origin
+    assert f1.grid_spacing == gfield.grid_spacing
+    np.testing.assert_allclose(np.asarray(f1.params),
+                               np.asarray(gfield.params), rtol=1e-6)
+
+
+def test_grid_rejected_by_fused_kernel():
+    base = blob_cloud()
+    scene = dataclasses.replace(
+        base, medium=Medium(base.medium.sigma_a, base.medium.sigma_s, 0.0,
+                            _blob_grid(8)))
+    with pytest.raises(NotImplementedError):
+        build_tile_renderer(scene, vpt.default_camera(), 16, 8, 2,
+                            nee=True, interpret=True)

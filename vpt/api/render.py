@@ -208,7 +208,11 @@ def render(scene: Scene, camera: cam.Camera, cfg: RenderConfig,
         # from cfg.seed (its PCG streams), not from a threefry key.
         from ..kernels import wavefront as _wf
 
-        if cfg.integrator in _wf.PALLAS_INTEGRATORS:
+        grid_field = (scene.medium.density is not None
+                      and scene.medium.density.kind == "grid")
+        if cfg.integrator in _wf.PALLAS_INTEGRATORS and not grid_field:
+            # voxel-grid fields are engine-only (per-lane gathers);
+            # renderer='pallas' explicitly still raises in the kernel
             return _wf.render_pallas(scene, camera, cfg)
 
     if key is None:

@@ -112,6 +112,12 @@ def _scene_consts(scene: Scene):
     if fld is None:
         s["field"] = None
     else:
+        if fld.kind == "grid":
+            raise NotImplementedError(
+                "voxel-grid density is engine-only (per-lane gathers are "
+                "the one access pattern the VPU tiles can't do); render "
+                "with renderer='scan'/'persistent', or use the analytic "
+                "exp_height/blobs fields for the fused kernel")
         p = np.asarray(fld.params, np.float64)
         if fld.kind == "exp_height":
             params = (float(p[0]), float(p[1]))

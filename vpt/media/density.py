@@ -58,6 +58,7 @@ __all__ = [
 
 EXP_HEIGHT = "exp_height"
 BLOBS = "blobs"
+GRID = "grid"
 
 _BIG = 1e8          # "never scatters" distance, matches geometry.BIG
 _M_EPS = 1e-6       # |k * d_y| below this uses the constant-density limit
@@ -86,6 +87,16 @@ class DensityField:
     majorant: float = dataclasses.field(default=1.0,
                                         metadata=dict(static=True))
     max_null: int = dataclasses.field(default=64, metadata=dict(static=True))
+    # grid-field geometry (kind == "grid" only): world-space min corner and
+    # per-axis voxel spacing; static so the trilinear indexing folds
+    grid_origin: tuple = dataclasses.field(default=(),
+                                           metadata=dict(static=True))
+    grid_spacing: tuple = dataclasses.field(default=(),
+                                            metadata=dict(static=True))
+    # marched-quadrature step count for the grid optical depth (the grid
+    # has no closed form; constant-step marching is the reference's own
+    # transmittance idiom, rayMarchingMethods.h)
+    n_march: int = dataclasses.field(default=32, metadata=dict(static=True))
 
 
 def exp_height(k: float, y0: float, majorant: float,
@@ -104,6 +115,30 @@ def blobs(rows, majorant: float | None = None,
     return DensityField(params=p, kind=BLOBS, majorant=float(majorant))
 
 
+def grid(values, origin, spacing, majorant: float | None = None,
+         max_null: int = 64, n_march: int = 32,
+         dtype=jnp.float32) -> DensityField:
+    """Voxel-grid density (the production field type: baked clouds/smoke).
+    values: (nx, ny, nz) densities at voxel CENTERS, trilinearly
+    interpolated, clamp-to-edge outside; origin: world min corner;
+    spacing: per-axis voxel size. Differentiable w.r.t. `values`
+    (inverse volume reconstruction). Engine-only: the fused kernels
+    reject grids (per-lane gathers are the one access pattern the VPU
+    tiles can't do; the analytic fields exist for the kernel path)."""
+    import numpy as np
+
+    v = jnp.asarray(values, dtype)
+    if v.ndim != 3 or min(v.shape) < 2:
+        raise ValueError(f"grid needs (nx, ny, nz) with every axis >= 2; "
+                         f"got {v.shape}")
+    if majorant is None:
+        majorant = float(np.max(np.asarray(values, np.float64))) * 1.001
+    return DensityField(
+        params=v, kind=GRID, majorant=float(majorant), max_null=max_null,
+        grid_origin=tuple(float(x) for x in origin),
+        grid_spacing=tuple(float(x) for x in spacing), n_march=n_march)
+
+
 def density(field: DensityField, x: jnp.ndarray) -> jnp.ndarray:
     """d(x) for x (..., 3) -> (...)."""
     if field.kind == EXP_HEIGHT:
@@ -116,6 +151,32 @@ def density(field: DensityField, x: jnp.ndarray) -> jnp.ndarray:
         dx = x[..., None, :] - c                      # (..., K, 3)
         d2 = jnp.sum(dx * dx, axis=-1)                # (..., K)
         return jnp.sum(w * jnp.exp(-0.5 * d2 / (r * r)), axis=-1)
+    if field.kind == GRID:
+        g = field.params                              # (nx, ny, nz)
+        nx, ny, nz = g.shape
+        org = jnp.asarray(field.grid_origin, g.dtype)
+        spc = jnp.asarray(field.grid_spacing, g.dtype)
+        # voxel centers at origin + (i + 0.5) * spacing; clamp-to-edge
+        u = (x - org) / spc - 0.5
+        u = jnp.clip(u, 0.0, jnp.asarray([nx - 1, ny - 1, nz - 1],
+                                         g.dtype))
+        i0 = jnp.clip(jnp.floor(u).astype(jnp.int32),
+                      0, jnp.asarray([nx - 2, ny - 2, nz - 2]))
+        f = jnp.clip(u - i0.astype(g.dtype), 0.0, 1.0)
+        flat = g.reshape(-1)
+
+        def corner(dx_, dy_, dz_):
+            idx = ((i0[..., 0] + dx_) * ny + (i0[..., 1] + dy_)) * nz \
+                + (i0[..., 2] + dz_)
+            return jnp.take(flat, idx)
+
+        fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+        c00 = corner(0, 0, 0) * (1 - fz) + corner(0, 0, 1) * fz
+        c01 = corner(0, 1, 0) * (1 - fz) + corner(0, 1, 1) * fz
+        c10 = corner(1, 0, 0) * (1 - fz) + corner(1, 0, 1) * fz
+        c11 = corner(1, 1, 0) * (1 - fz) + corner(1, 1, 1) * fz
+        return ((c00 * (1 - fy) + c01 * fy) * (1 - fx)
+                + (c10 * (1 - fy) + c11 * fy) * fx)
     raise ValueError(f"unknown density kind {field.kind!r}")
 
 
@@ -169,6 +230,18 @@ def optical_depth(field: DensityField, sigma_t, o, d, t):
         hi = erf_poly((t[..., None] - a) * (inv_r * _SQRT_HALF))
         lo = erf_poly(a * (inv_r * _SQRT_HALF))
         return sigma_t * jnp.sum(w * amp * (hi + lo), axis=-1)
+    if field.kind == GRID:
+        # no closed form: midpoint-rule marching (the reference's own
+        # transmittance idiom, rayMarchingMethods.h constant-step family).
+        # Bias O((t/M)^2); M = field.n_march. Long segments (NEE across
+        # the scene) dominate the cost: M density gathers per call.
+        M = field.n_march
+        tc = jnp.minimum(t, 1e6)        # escaped-lane BIG would waste range
+        s = (jnp.arange(M, dtype=tc.dtype) + 0.5) / M   # (M,)
+        pts = o[None] + (s.reshape((M,) + (1,) * tc.ndim) * tc)[..., None] \
+            * d[None]
+        dens = density(field, pts)                      # (M, ...)
+        return sigma_t * tc / M * jnp.sum(dens, axis=0)
     raise ValueError(f"unknown density kind {field.kind!r}")
 
 
@@ -250,6 +323,6 @@ def sample_distance(field: DensityField, sigma_t, o, d, u, key, t_cap):
     (surface distance) lets delta tracking stop early."""
     if field.kind == EXP_HEIGHT:
         return _sample_exp_height(field, sigma_t, o, d, u)
-    if field.kind == BLOBS:
+    if field.kind in (BLOBS, GRID):
         return _sample_delta(field, sigma_t, o, d, key, t_cap)
     raise ValueError(f"unknown density kind {field.kind!r}")

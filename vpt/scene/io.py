@@ -70,13 +70,21 @@ def scene_to_dict(scene: Scene, camera: Camera | None = None) -> dict:
         # heterogeneous density field (media/density.py); omitted when
         # homogeneous
         p = np.asarray(fld.params, np.float64)
-        out["density"] = {
+        dd = {
             "kind": fld.kind,
-            "params": [list(map(float, row)) for row in p.reshape(
-                -1, p.shape[-1] if p.ndim > 1 else p.shape[0])],
             "majorant": float(fld.majorant),
             "max_null": int(fld.max_null),
         }
+        if fld.kind == "grid":
+            dd["shape"] = list(p.shape)
+            dd["params"] = list(map(float, p.reshape(-1)))
+            dd["origin"] = list(map(float, fld.grid_origin))
+            dd["spacing"] = list(map(float, fld.grid_spacing))
+            dd["n_march"] = int(fld.n_march)
+        else:
+            dd["params"] = [list(map(float, row)) for row in p.reshape(
+                -1, p.shape[-1] if p.ndim > 1 else p.shape[0])]
+        out["density"] = dd
     if camera is not None:
         out["camera"] = {
             "origin": list(map(float, np.asarray(camera.origin, np.float64))),
@@ -110,10 +118,16 @@ def scene_from_dict(d: dict, dtype=jnp.float32):
         p = np.asarray(dd["params"], np.float64)
         if dd["kind"] == "exp_height":
             p = p.reshape(-1)[:2]
+        kw = {}
+        if dd["kind"] == "grid":
+            p = p.reshape(dd["shape"])
+            kw = dict(grid_origin=tuple(dd["origin"]),
+                      grid_spacing=tuple(dd["spacing"]),
+                      n_march=int(dd.get("n_march", 32)))
         density = DensityField(
             params=jnp.asarray(p, dtype), kind=str(dd["kind"]),
             majorant=float(dd.get("majorant", 1.0)),
-            max_null=int(dd.get("max_null", 64)))
+            max_null=int(dd.get("max_null", 64)), **kw)
     scene = make_scene(spheres, sigma_a=float(d.get("sigma_a", 0.001)),
                        sigma_s=float(d.get("sigma_s", 0.009)),
                        g=float(d.get("g", 0.0)), density=density,
