@@ -232,3 +232,112 @@ def test_ld_deterministic_and_unbiased_vs_random(render_ld, render):
     ml, mr = np.mean(lm), np.mean(rm)
     se = np.hypot(np.std(lm), np.std(rm)) / np.sqrt(8)
     assert abs(ml - mr) < 4.0 * se + 0.03 * mr, (ml, mr, se)
+
+
+# ------------- heterogeneous media (free-flight family) --------------------
+# Medium.density support (ours; the reference medium is homogeneous): the
+# field SHAPE is baked, sigma_a/sigma_s/albedo/radiance stay traced. Same
+# three contracts as the homogeneous pair (module docstring), plus the
+# material-3 shell scene through the shared pLight cascade.
+
+from vpt.scene.scene import blob_cloud, foggy_cornell, medium_shell
+
+
+@pytest.mark.parametrize("make_scene", [foggy_cornell, blob_cloud,
+                                        medium_shell])
+def test_diff_hetero_fwd_matches_baked_kernel(make_scene):
+    """Contract 1 for the heterogeneous fields (exp_height analytic
+    inversion; blobs delta tracking — the replay consumes the same PCG
+    subsequence) and for material-3 shells (prims.plight_le_scale shared
+    cascade)."""
+    sc = make_scene()
+    r = make_diff_renderer(sc, CAM, W, H, SPP, max_bounces=8,
+                           tile_rows=8, interpret=True)
+    img = np.asarray(r(pack_params(sc), 3))
+    run_ref = build_tile_renderer(sc, CAM, W, H, SPP, max_bounces=8,
+                                  tile_rows=8, interpret=True)
+    ref = np.asarray(run_ref(3))
+    assert np.isfinite(img).all()
+    assert np.abs(img - ref).max() < 1e-5 * max(1.0, np.abs(ref).max())
+
+
+@pytest.fixture(scope="module")
+def render_fog():
+    return make_diff_renderer(foggy_cornell(), CAM, W, H, SPP, max_bounces=8,
+                              tile_rows=8, interpret=True)
+
+
+@pytest.mark.parametrize("leaf,index,eps", [
+    ("albedo", (6, 2), 1e-3),     # blue sphere blue channel
+    ("radiance", (9, 0), 1e-2),   # area light power
+])
+def test_hetero_albedo_radiance_grads_exact_per_seed(render_fog, leaf,
+                                                     index, eps):
+    """Contract 2 in fog: no sampling decision (incl. the heterogeneous
+    distance draws) depends on albedo/radiance, so fixed-seed FD of the
+    kernel matches the hand-accumulated backward."""
+    sc = foggy_cornell()
+    params = pack_params(sc)
+
+    def loss(p):
+        return jnp.mean(render_fog(p, 3))
+
+    g = float(np.asarray(jax.grad(loss)(params)[leaf])[index])
+
+    def bump(e):
+        p = dict(params)
+        p[leaf] = params[leaf].at[index].set(params[leaf][index] + e)
+        return float(loss(p))
+
+    fd = (bump(eps) - bump(-eps)) / (2 * eps)
+    assert np.isfinite(g) and np.isfinite(fd)
+    assert np.isclose(g, fd, rtol=3e-2, atol=1e-7), (g, fd)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("make_scene,h", [(foggy_cornell, 2e-3),
+                                          (blob_cloud, 2e-3)])
+def test_hetero_sigma_grads_match_crn_fd(make_scene, h):
+    """Contract 3 for heterogeneous media: E[d mean(img) / d sigma] from the
+    score-function backward agrees with common-random-number central finite
+    differences of the pair's own forward (same PCG streams at theta +- h,
+    so the smooth chains cancel and event flips supply the event-probability
+    mass) within combined standard error."""
+    sc = make_scene()
+    r = make_diff_renderer(sc, CAM, W, H, SPP, max_bounces=8,
+                           tile_rows=8, interpret=True)
+    params = pack_params(sc)
+
+    # seed stays traced: a static seed would recompile the interpret-mode
+    # kernels per sample
+    loss = jax.jit(lambda p, s: jnp.mean(r(p, s)))
+    gk = jax.jit(jax.grad(lambda p, s: jnp.mean(r(p, s))))
+
+    def bumped(leaf, e):
+        p = dict(params)
+        p[leaf] = params[leaf] + e
+        return p
+
+    n = 16
+    for leaf in ("sigma_a", "sigma_s"):
+        gs, fds = [], []
+        pp, pm = bumped(leaf, h), bumped(leaf, -h)
+        for i in range(n):
+            s = jnp.int32(7000 + i)
+            gs.append(float(gk(params, s)[leaf]))
+            fds.append((float(loss(pp, s)) - float(loss(pm, s))) / (2 * h))
+        gm, gse = np.mean(gs), np.std(gs) / np.sqrt(n)
+        fm, fse = np.mean(fds), np.std(fds) / np.sqrt(n)
+        tol = 4.0 * np.hypot(gse, fse) + 0.08 * max(abs(gm), abs(fm))
+        assert np.isfinite([gm, fm]).all()
+        assert abs(gm - fm) < tol, (leaf, gm, gse, fm, fse)
+
+
+def test_diff_hetero_guards():
+    sc = foggy_cornell()
+    with pytest.raises(NotImplementedError, match="free-flight"):
+        make_diff_renderer(sc, CAM, W, H, SPP, distance="equiangular",
+                           interpret=True)
+    with pytest.raises(NotImplementedError, match="implicit"):
+        make_diff_renderer(SCENE, CAM, W, H, SPP, nee=False, physical=False,
+                           interpret=True)

@@ -14,6 +14,17 @@ the reference's raison d'etre is sigma estimation, src/rt.cpp:794):
 Geometry (centers/radii/camera) stays baked; full-parameter gradients use the
 XLA engine (integrators/engine.py).
 
+Heterogeneous media (Medium.density, ours — the reference medium is
+homogeneous) are supported in the free-flight family with the field SHAPE
+baked (exp_height / blobs params are python consts, like the forward
+kernel) and sigma_a/sigma_s traced: because sigma_a/sigma_s share the
+density, every transmittance is exp(-sigma_t * I) with the
+sigma-independent optical path I = int density (prims.field_tau at
+sigma_t=1), so the pathwise tr coefficients swap distance -> I and the
+free-flight score becomes 1/sigma_t - I(d) (medium) / -I(t) (surface).
+Distance draws replay exactly (analytic inversion consumes the same
+uniform; delta tracking consumes the same PCG subsequence).
+
 Gradient estimator (matches engine.IntegratorSpec(sigma_score=True)):
 sampled distances/events are DETACHED and the sigma-dependence of the
 sampling densities is captured by score-function terms; albedo/radiance and
@@ -58,10 +69,13 @@ from .wavefront import _scene_consts
 __all__ = ["make_diff_renderer", "pack_params", "unpack_params"]
 
 
-def pack_params(scene: Scene, with_g: bool = False):
+def pack_params(scene: Scene, with_g: bool = False,
+                with_field: bool = False):
     """Differentiable parameter pytree from a scene. with_g adds the HG
-    anisotropy as a traced leaf (pair with make_diff_renderer(diff_g=True);
-    the leaf order keeps the first 2+6S packed indices stable)."""
+    anisotropy as a traced leaf (pair with make_diff_renderer(diff_g=True));
+    with_field adds the exp_height fog falloff k as "fog_k" (pair with
+    diff_field=True). The leaf order keeps the first 2+6S packed indices
+    stable."""
     p = {
         "sigma_a": jnp.asarray(scene.medium.sigma_a, jnp.float32),
         "sigma_s": jnp.asarray(scene.medium.sigma_s, jnp.float32),
@@ -70,6 +84,12 @@ def pack_params(scene: Scene, with_g: bool = False):
     }
     if with_g:
         p["g"] = jnp.asarray(scene.medium.g, jnp.float32)
+    if with_field:
+        fld = scene.medium.density
+        if fld is None or fld.kind != "exp_height":
+            raise ValueError(
+                "with_field=True needs an exp_height Medium.density")
+        p["fog_k"] = jnp.asarray(fld.params[0], jnp.float32)
     return p
 
 
@@ -82,18 +102,30 @@ def _flatten(params, S):
     ]
     if "g" in params:
         parts.append(jnp.reshape(params["g"], (1,)).astype(jnp.float32))
+    if "fog_k" in params:
+        parts.append(jnp.reshape(params["fog_k"], (1,)).astype(jnp.float32))
     return jnp.concatenate(parts)
 
 
-def unpack_params(vec, S):
+def unpack_params(vec, S, *, with_g=None, with_field=False):
+    """Packed gradient vector -> params pytree. with_g=None keeps the
+    legacy inference (one extra slot = the traced-g layout) for callers
+    that never trace field params."""
     p = {
         "sigma_a": vec[0],
         "sigma_s": vec[1],
         "albedo": vec[2:2 + 3 * S].reshape(S, 3),
         "radiance": vec[2 + 3 * S:2 + 6 * S].reshape(S, 3),
     }
-    if vec.shape[0] == 3 + 6 * S:       # the traced-g layout (diff_g)
-        p["g"] = vec[2 + 6 * S]
+    n_extra = vec.shape[0] - (2 + 6 * S)
+    if with_g is None:
+        with_g = (n_extra - (1 if with_field else 0)) >= 1
+    idx = 2 + 6 * S
+    if with_g:
+        p["g"] = vec[idx]
+        idx += 1
+    if with_field:
+        p["fog_k"] = vec[idx]
     return p
 
 
@@ -135,12 +167,17 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
     if sampler not in ("random", "ld"):
         raise ValueError(f"unknown sampler {sampler!r}")
     sc = _scene_consts(scene)
-    if sc["field"] is not None:
+    fc = sc["field"]        # heterogeneous density (None = homogeneous)
+    if fc is not None and distance != "free":
         raise NotImplementedError(
-            "the differentiable kernel pair is homogeneous-only "
-            "(Medium.density set): the replay backward would need the "
-            "field adjoints; use the forward kernel + FD training or the "
-            "engine for heterogeneous media")
+            "heterogeneous media support the free-flight kernel family "
+            "only (matches the engine and the forward kernel)")
+    if not nee and not physical:
+        raise NotImplementedError(
+            "the differentiable pair implements the explicit (NEE) and "
+            "physical estimators; the non-physical implicit_free (1-Tr) "
+            "medium weight is forward-kernel/engine-only — build with "
+            "physical=True or nee=True")
     S = len(sc["r"])
     P = 2 + 6 * S + (1 if diff_g else 0)
     IG = 2 + 6 * S                      # packed index of g when diff_g
@@ -259,10 +296,11 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
 
             def plight_term(at, xs, n, d, lc, lrad):
                 """pLight + partials: (ldp, coef=d/dlrad, lam=d/dalb, dist —
-                callers reuse the xs->light distance for trs)."""
-                vis, dist, dl = pr.visibility_from(sc, lc, xs)
-                le_scale = jnp.where(vis, 1.0 / jnp.maximum(dist * dist, 1e-20),
-                                     0.0)
+                callers reuse the xs->light distance for trs). The
+                visibility cascade (incl. material-3 shells' multipleT
+                fallback, a theta-independent baked factor) is shared with
+                the forward kernel via prims.plight_le_scale."""
+                le_scale, dist, dl = pr.plight_le_scale(sc, lc, xs)
                 wi = [-dl[0], -dl[1], -dl[2]]
                 fr = pr.eval_fr_nee_plight(at, n, d, wi)
                 cosw = pr.dot3(n, wi)
@@ -298,7 +336,14 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                     visible = hit & (sid == e)
                     fr = pr.eval_fr_nee(at, n, d, wi)
                     fpdf_inv = pr.TWO_PI * jnp.maximum(1.0 - cos_max, 1e-12)
-                    tr = jnp.exp(-sigma_t * normcx)
+                    # att = the optical path per unit sigma_t: the distance
+                    # for a homogeneous medium, int density for a field —
+                    # tr = exp(-sigma_t*att) and d(tr)/dsigma = -att*tr
+                    if fc is None:
+                        att = normcx
+                    else:
+                        att = pr.field_tau(fc, 1.0, xs, wc, normcx)
+                    tr = jnp.exp(-sigma_t * att)
                     w_vis = jnp.where(visible,
                                       tr * pr.dot3(n, wi) * fpdf_inv, 0.0)
                     gpdf = pr.bsdf_pdf_for_dir(at, n, wo, wi, rng())
@@ -308,7 +353,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                         acc[i] += term[i]
                     if grads:
                         for i in range(3):
-                            dsig[i] += term[i] * (-normcx)
+                            dsig[i] += term[i] * (-att)
                             dalb[i] += jnp.where(
                                 is_lam,
                                 rad[e][i] * w_vis * wf * (1.0 / math.pi), 0.0)
@@ -409,11 +454,18 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                     phase = pr.hg_phase_const(pr.dot3(d, wl), g_hg)
                 else:
                     phase = INV_4PI
+                # att: optical path per unit sigma_t toward the light (the
+                # plain distance when homogeneous) — callers use -att as
+                # the d/dsigma coefficient of this transmittance
+                if fc is None:
+                    att = t
+                else:
+                    att = pr.field_tau(fc, 1.0, xt, wl, t)
                 # phase / cone_pdf = phase * 2pi * (1 - cos_max): no div
                 w = jnp.where(visible,
-                              jnp.exp(-sigma_t * t) * (phase * pr.TWO_PI)
+                              jnp.exp(-sigma_t * att) * (phase * pr.TWO_PI)
                               * jnp.maximum(1.0 - cos_max, 1e-12), 0.0)
-                return [lrad[i] * w for i in range(3)], w, t, dlogp
+                return [lrad[i] * w for i in range(3)], w, att, dlogp
 
             # ------------- the persistent loop ---------------------------
             def loop_body(state):
@@ -453,8 +505,22 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 inv_cp = 1.0 / cp  # python const: fold the cp divisions
 
                 if distance == "free":
-                    d_s = -jnp.log1p(-u_dist) * inv_st
-                    surface = (d_s > t_eff) & hit
+                    if fc is None:
+                        d_s = -jnp.log1p(-u_dist) * inv_st
+                        surface = (d_s > t_eff) & hit
+                    else:
+                        # heterogeneous free flight (same draws as the
+                        # forward kernel): analytic CDF inversion
+                        # (exp_height) or in-kernel delta tracking (blobs —
+                        # consumes the same PCG draws in fwd and replay)
+                        d_s = pr.field_sample_free(fc, sigma_t, o, d,
+                                                   u_dist, rng, t_eff)
+                        surface = (d_s > t_eff) & hit
+                        # flights that ESCAPE to vacuum kill the lane
+                        # (wavefront.py engine parity); an escaped event's
+                        # score would weight exactly zero future
+                        # contribution, so no score term is needed
+                        alive = alive & ((d_s < 0.5 * BIG) | surface)
                     xt = [o[i] + d_s * d[i] for i in range(3)]
                 else:
                     # equiAngularParams2 + Bernoulli(TrActual)
@@ -484,9 +550,24 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 if grads:
                     # score (family 3) vs L-prefix BEFORE this bounce
                     if distance == "free":
-                        # density: sigma_t e^{-sigma_t d} / e^{-sigma_t t}
-                        k_sc = jnp.where(shade_pre, -t_eff,
-                                         jnp.where(medium, inv_st - d_s, 0.0))
+                        if fc is None:
+                            # density: sigma_t e^{-sigma_t d} / e^{-sigma_t t}
+                            k_sc = jnp.where(
+                                shade_pre, -t_eff,
+                                jnp.where(medium, inv_st - d_s, 0.0))
+                        else:
+                            # p(d) = sigma_t*dens(x_d)*e^{-sigma_t I(d)},
+                            # P(surf) = e^{-sigma_t I(t)} with I = int dens:
+                            # dlog/dsigma = 1/sigma_t - I(d) | -I(t). dens
+                            # itself is sigma-independent. Gated distances
+                            # keep the tau chains finite (d_s==BIG escapes)
+                            t_det = jnp.where(shade_pre, t_eff, 0.0)
+                            d_det = jnp.where(medium, d_s, 0.0)
+                            I_surf = pr.field_tau(fc, 1.0, o, d, t_det)
+                            I_med = pr.field_tau(fc, 1.0, o, d, d_det)
+                            k_sc = jnp.where(
+                                shade_pre, -I_surf,
+                                jnp.where(medium, inv_st - I_med, 0.0))
                     else:
                         # Bernoulli(Tr): surface log Tr = -sigma_t t;
                         # medium log(1 - Tr); pdf itself sigma-independent
@@ -524,7 +605,13 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 if nee:
                     ldp, ldp_coef, ldp_lam, dist_ls = plight_term(
                         at, xs, nrm, d, lc, lrad)
-                    trs = jnp.exp(-sigma_t * dist_ls)
+                    if fc is None:
+                        att_pl = dist_ls
+                    else:
+                        inv_dl = 1.0 / jnp.maximum(dist_ls, 1e-20)
+                        wlight = [(lc[i] - xs[i]) * inv_dl for i in range(3)]
+                        att_pl = pr.field_tau(fc, 1.0, xs, wlight, dist_ls)
+                    trs = jnp.exp(-sigma_t * att_pl)
                     ldm, misp = mis_v2(rng, at, xs, nrm, d)
                     for i in range(3):
                         add = jnp.where(
@@ -536,7 +623,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                         # immediate sigma_t terms: d(trs)/dsigma and MIS tr
                         gs = z
                         for i in range(3):
-                            gs += wt[i] * (ldp[i] * trs * (-dist_ls) * inv_ps
+                            gs += wt[i] * (ldp[i] * trs * (-att_pl) * inv_ps
                                            + misp["dsig"][i]) * tp[i] * inv_cp
                         acc["g_st"] += jnp.where(shade, gs, 0.0)
                         # radiance: pLight (picked light) + MIS light strat
@@ -593,7 +680,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                     med_dsig = -jnp.abs(d_along) \
                         - t_det2 * tr_act / one_m_tr
                 if nee:
-                    ld_med, w_med, t_vis, dlogp_nee = medium_nee(
+                    ld_med, w_med, att_nee, dlogp_nee = medium_nee(
                         rng, d, xt, lc, lrad, lr, lid)
                     adds = [jnp.where(medium,
                                       ld_med[i] * inv_ps * tp[i] * med_scale,
@@ -606,7 +693,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                         gs = z
                         gx = z
                         for i in range(3):
-                            gs += wt[i] * adds[i] * (-t_vis + med_dsig)
+                            gs += wt[i] * adds[i] * (-att_nee + med_dsig)
                             gx += wt[i] * adds[i]
                         acc["g_st"] += gs
                         acc["g_ssx"] += gx * (1.0 / ss)

@@ -264,6 +264,42 @@ def visibility_from(sc, light, x):
     return (t > dist * (1.0 - 1024.0 * F32EPS)) | ~hit, dist, d
 
 
+def plight_le_scale(sc, lc, xs):
+    """pLight's light-to-point attenuation (vptShadeMethods.h:62-91):
+    visible -> 1/d^2; with material-3 shells in the scene the reference's
+    cascade applies — visibilityVPT (shells ignored) -> attenuate by
+    multipleT at the hardcoded sigma_t = 0.05 + 0.009 (vptShadeMethods.h:72)
+    — else black. Shared by the fused forward kernel and the differentiable
+    pair (the multipleT fallback's sigma is a baked reference constant, so
+    this factor is theta-independent for every diff-kernel parameter).
+    Returns (le_scale, dist, unit light->xs direction)."""
+    lx = [xs[0] - lc[0], xs[1] - lc[1], xs[2] - lc[2]]
+    dist = norm3(lx)
+    inv_d = 1.0 / dist              # norm3 floors at 1e-10, so finite
+    dl = scale3(lx, inv_d)
+    hit, t, _ = nearest_id_t(sc, lc, dl)
+    slack = 1.0 - 1024.0 * F32EPS
+    vis = (t > dist * slack) | ~hit
+    inv_d2 = inv_d * inv_d
+    if not sc["vol"]:
+        return jnp.where(vis, inv_d2, 0.0), dist, dl
+    hit_v, t_v, _ = nearest_id_t(sc, lc, dl, skip=sc["vol"])
+    vis_vpt = (t_v > dist * slack) | ~hit_v
+    # multipleT on the reversed (xs -> light) ray: roots are dist-t2 /
+    # dist-t1 (volumetricBasicFunctions.h:26-57)
+    tau = jnp.zeros_like(dist)
+    st_fb = 0.05 + 0.009            # vptShadeMethods.h:72
+    for sv in sc["vol"]:
+        t1, t2 = sphere_both_roots(sc, lc, dl, sv)
+        r1 = dist - t2
+        r2 = dist - t1
+        tau = tau + jnp.where(r2 < 0.0, st_fb * r1, 0.0)
+        tau = tau + jnp.where(r2 - r1 > 0.0, st_fb * (r2 - r1), 0.0)
+    mt = jnp.exp(-tau)
+    return jnp.where(vis, inv_d2, jnp.where(vis_vpt, inv_d2 * mt, 0.0)), \
+        dist, dl
+
+
 # --- Beckmann / Fresnel ----------------------------------------------------
 
 def ndf_beckmann(cosine, alpha):
@@ -603,6 +639,28 @@ def field_tau(fc, sigma_t, o, d, t):
         g = amp * (hi + lo)
         tau = g if tau is None else tau + g
     return sigma_t * tau
+
+
+def field_tau_dk(fc, o, d, t):
+    """d/dk of the exp_height optical path per unit sigma,
+    I(o,d,t) = (d0 - d_end)/m with m = k*dy, d0 = e^{-k a0}, a0 = oy - y0,
+    a1 = oy + t*dy - y0 (the k-derivative the traced-k differentiable
+    kernel needs; k may be a traced scalar). In the |m| < 1e-6 limit the
+    baked I is d0*t, whose k-derivative is -(a0+a1)/2 * d0 * t — exact for
+    dy == 0 (a1 == a0) and the correct k->0 series limit. exp_height only."""
+    k, y0 = fc["params"]
+    a0 = o[1] - y0
+    a1 = o[1] + t * d[1] - y0
+    d0 = jnp.exp(jnp.clip(-k * a0, -80.0, 80.0))
+    d1 = jnp.exp(jnp.clip(-k * a1, -80.0, 80.0))
+    m = k * d[1]
+    const = jnp.abs(m) < 1e-6
+    safe_m = jnp.where(const, 1.0, m)
+    inv_m = 1.0 / safe_m
+    # d/dk[(d0-d1)/m] = ((a1 d1 - a0 d0) - (d0-d1) dy/m) / m
+    gen = ((a1 * d1 - a0 * d0) - (d0 - d1) * d[1] * inv_m) * inv_m
+    lim = -0.5 * (a0 + a1) * d0 * t
+    return jnp.where(const, lim, gen)
 
 
 def field_tr_toward(fc, sigma_t, x, target_dir, dist):

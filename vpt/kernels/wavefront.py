@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..scene.scene import Scene, VOLUME_BOUNDARY
 from . import prims as pr
-from .prims import BIG, F32EPS, INV_4PI, TWO_PI
+from .prims import BIG, INV_4PI
 
 __all__ = ["build_tile_renderer", "render_pallas"]
 
@@ -253,38 +253,11 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
             return lc, lrad, lr, lid
 
         def plight_term(at, xs, n, d, lc, lrad):
-            """pLight (vptShadeMethods.h:62-91). With material-3 shells in
-            the scene, the reference's visibility cascade applies: plain
-            visibility -> full 1/d^2; else visibilityVPT (shells ignored)
-            -> attenuate by multipleT at the hardcoded sigma_t=0.059
-            (vptShadeMethods.h:72); else black. Matches media/nee.plight."""
-            lx = [xs[i] - lc[i] for i in range(3)]
-            dist = pr.norm3(lx)
-            inv_d = 1.0 / dist          # norm3 floors at 1e-10, so finite
-            dl = pr.scale3(lx, inv_d)
-            hit, t, _ = pr.nearest_id_t(sc, lc, dl)
-            slack = 1.0 - 1024.0 * F32EPS
-            vis = (t > dist * slack) | ~hit
-            inv_d2 = inv_d * inv_d
-            if sc["vol"]:
-                hit_v, t_v, _ = pr.nearest_id_t(sc, lc, dl, skip=sc["vol"])
-                vis_vpt = (t_v > dist * slack) | ~hit_v
-                # multipleT on the reversed (xs -> light) ray: roots are
-                # dist-t2 / dist-t1 (volumetricBasicFunctions.h:26-57)
-                tau = jnp.zeros_like(dist)
-                st_fb = 0.05 + 0.009      # vptShadeMethods.h:72
-                for sv in sc["vol"]:
-                    t1, t2 = pr.sphere_both_roots(sc, lc, dl, sv)
-                    r1 = dist - t2
-                    r2 = dist - t1
-                    tau = tau + jnp.where(r2 < 0.0, st_fb * r1, 0.0)
-                    tau = tau + jnp.where(r2 - r1 > 0.0,
-                                          st_fb * (r2 - r1), 0.0)
-                mt = jnp.exp(-tau)
-                le_scale = jnp.where(vis, inv_d2,
-                                     jnp.where(vis_vpt, inv_d2 * mt, 0.0))
-            else:
-                le_scale = jnp.where(vis, inv_d2, 0.0)
+            """pLight (vptShadeMethods.h:62-91). The visibility cascade
+            (incl. the material-3 multipleT fallback) lives in
+            prims.plight_le_scale, shared with the differentiable pair.
+            Matches media/nee.plight."""
+            le_scale, dist, dl = pr.plight_le_scale(sc, lc, xs)
             le = [lrad[i] * le_scale for i in range(3)]
             wi = [-dl[0], -dl[1], -dl[2]]   # unit light dir, already built
             fr = pr.eval_fr_nee_plight(at, n, d, wi)
