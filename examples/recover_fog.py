@@ -1,15 +1,22 @@
 """Heterogeneous inverse rendering: recover the exp_height fog falloff
 rate k (and optionally sigma_s) of `foggy_cornell` from a target render.
 
-Uses common-random-number central differences on the XLA engine (the
-analytic-inversion sampler is reparameterized, but the surface/medium
-event probabilities' boundary terms are what CRN FD supplies — the same
-reasoning as `vpt.dist.fit_geom_fd`, BASELINE.md "Boundary terms"), with
-the round-2 study's clamped-MSE loss (unclamped MSE is dominated by
-emitter-hit speckle).
+Two paths:
 
-    python examples/recover_fog.py          # engine, any backend, ~4 min CPU
-    python examples/recover_fog.py --steps 40
+  --kernel (default on TPU): the differentiable fused pair with the fog
+    falloff TRACED (`make_diff_renderer(diff_field=True)`, kernels/diff.py)
+    — pathwise transmittance dI/dk terms + free-flight event scores, A/B
+    unbiased MSE, ~70M paths/s fwd+bwd on one v5e chip.
+
+  engine CRN FD (default off-TPU): central differences on the XLA engine
+    (the analytic-inversion sampler is reparameterized, but the
+    surface/medium event probabilities' boundary terms are what CRN FD
+    supplies — the same reasoning as `vpt.dist.fit_geom_fd`, BASELINE.md
+    "Boundary terms"), with the round-2 study's clamped-MSE loss
+    (unclamped MSE is dominated by emitter-hit speckle).
+
+    python examples/recover_fog.py          # engine FD, any backend
+    python examples/recover_fog.py --kernel # fused diff pair (TPU)
 """
 import argparse
 import dataclasses
@@ -23,7 +30,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--spp", type=int, default=32)
+    ap.add_argument("--kernel", action="store_true",
+                    help="train through the differentiable fused pair "
+                         "(diff_field=True) instead of engine CRN FD")
     args = ap.parse_args()
+
+    if args.kernel:
+        return main_kernel(args)
 
     import jax
     import jax.numpy as jnp
@@ -74,6 +87,47 @@ def main():
             tail.append(float(k))
     k_rec = float(np.mean(tail))
     print(f"recovered k={k_rec:.4f} (true {K_TRUE}) "
+          f"in {time.time() - t0:.1f}s")
+
+
+def main_kernel(args):
+    import dataclasses
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import vpt
+    from vpt.kernels.wavefront import build_tile_renderer
+    from vpt.media.density import exp_height
+    from vpt.scene.scene import foggy_cornell
+
+    base = foggy_cornell()
+    cam = vpt.default_camera()
+    K_TRUE, K_INIT = 0.06, 0.12
+    W = H = 128
+    print(f"target: k={K_TRUE}; init k={K_INIT} (fused kernel path)")
+    target = np.asarray(
+        build_tile_renderer(base, cam, W, H, 256, max_bounces=32,
+                            tile_rows=32, sampler="ld")(123)
+    ).reshape(H, W, 3)
+
+    wrong = dataclasses.replace(
+        base, medium=dataclasses.replace(
+            base.medium,
+            density=exp_height(k=K_INIT, y0=-40.8, majorant=1.01)))
+
+    def keep_only_fog(updated, initial):
+        out = dict(initial)
+        out["fog_k"] = updated["fog_k"]
+        return out
+
+    t0 = time.time()
+    p_fit, _ = vpt.dist.fit_kernel(
+        wrong, cam, jnp.asarray(target), steps=args.steps, spp=args.spp,
+        learning_rate=4e-3, sampler="ld", diff_field=True,
+        param_filter=keep_only_fog, log_every=10)
+    print(f"recovered k={float(p_fit['fog_k']):.4f} (true {K_TRUE}) "
           f"in {time.time() - t0:.1f}s")
 
 

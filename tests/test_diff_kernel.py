@@ -341,3 +341,55 @@ def test_diff_hetero_guards():
     with pytest.raises(NotImplementedError, match="implicit"):
         make_diff_renderer(SCENE, CAM, W, H, SPP, nee=False, physical=False,
                            interpret=True)
+
+
+@pytest.mark.slow
+def test_fog_k_grad_matches_crn_fd():
+    """diff_field=True: dL/d(fog_k) from the traced-k backward (pathwise
+    transmittance dI/dk terms + the free-flight event scores) agrees with
+    CRN central FD of the pair's own forward within combined standard
+    error. Forward parity with the baked kernel at the scene's own k is
+    bit-near-exact (the traced scalar reads the same value from SMEM)."""
+    sc = foggy_cornell()
+    r = make_diff_renderer(sc, CAM, W, H, SPP, max_bounces=8, tile_rows=8,
+                           diff_field=True, interpret=True)
+    params = pack_params(sc, with_field=True)
+
+    img = np.asarray(r(params, 3))
+    run_ref = build_tile_renderer(sc, CAM, W, H, SPP, max_bounces=8,
+                                  tile_rows=8, interpret=True)
+    ref = np.asarray(run_ref(3))
+    assert np.abs(img - ref).max() < 1e-5 * max(1.0, np.abs(ref).max())
+
+    loss = jax.jit(lambda p, s: jnp.mean(r(p, s)))
+    gk = jax.jit(jax.grad(lambda p, s: jnp.mean(r(p, s))))
+    h = 4e-3
+    pp = dict(params); pp["fog_k"] = params["fog_k"] + h
+    pm = dict(params); pm["fog_k"] = params["fog_k"] - h
+    n = 16
+    gs, fds = [], []
+    for i in range(n):
+        s = jnp.int32(9000 + i)
+        gs.append(float(gk(params, s)["fog_k"]))
+        fds.append((float(loss(pp, s)) - float(loss(pm, s))) / (2 * h))
+    gm, gse = np.mean(gs), np.std(gs) / np.sqrt(n)
+    fm, fse = np.mean(fds), np.std(fds) / np.sqrt(n)
+    tol = 4.0 * np.hypot(gse, fse) + 0.08 * max(abs(gm), abs(fm))
+    assert np.isfinite([gm, fm]).all()
+    assert abs(gm - fm) < tol, (gm, gse, fm, fse)
+
+
+def test_fog_k_leaf_validation_and_guards():
+    sc = foggy_cornell()
+    r = make_diff_renderer(sc, CAM, W, H, SPP, max_bounces=8, tile_rows=8,
+                           diff_field=True, interpret=True)
+    with pytest.raises(ValueError, match="fog_k"):
+        r(pack_params(sc), 3)            # missing leaf
+    with pytest.raises(NotImplementedError, match="exp_height"):
+        make_diff_renderer(SCENE, CAM, W, H, SPP, diff_field=True,
+                           interpret=True)   # homogeneous scene
+    with pytest.raises(NotImplementedError, match="exp_height"):
+        make_diff_renderer(blob_cloud(), CAM, W, H, SPP, diff_field=True,
+                           interpret=True)   # blob field params stay baked
+    with pytest.raises(ValueError, match="exp_height"):
+        pack_params(SCENE, with_field=True)

@@ -33,16 +33,19 @@ def make_kernel_train_step(scene: Scene, camera, width: int, height: int,
                            *, distance: str = "free", max_bounces: int = 32,
                            tile_rows: int = 32, sampler: str = "random",
                            diff_g: bool = False,
+                           diff_field: bool = False,
                            interpret: bool = False):
     """Build step(params, opt_state, target_flat, seed) ->
     (params, opt_state, loss). `params` is the kernels.diff pytree
     (pack_params; pack with with_g=True when diff_g — the HG anisotropy
-    then trains jointly with the medium set); target_flat is (npix, 3).
-    Geometry/camera are baked."""
+    then trains jointly with the medium set — and with_field=True when
+    diff_field — the exp_height fog falloff "fog_k" then trains jointly,
+    kernels/diff.py); target_flat is (npix, 3). Geometry/camera are
+    baked."""
     render = make_diff_renderer(
         scene, camera, width, height, max(spp // 2, 1), distance=distance,
         max_bounces=max_bounces, tile_rows=tile_rows, sampler=sampler,
-        diff_g=diff_g, interpret=interpret)
+        diff_g=diff_g, diff_field=diff_field, interpret=interpret)
 
     @jax.jit
     def step(params, opt_state, target_flat, seed):
@@ -67,6 +70,7 @@ def make_sharded_kernel_train_step(scene: Scene, camera, width: int,
                                    tile_rows: int = 32,
                                    sampler: str = "random",
                                    diff_g: bool = False,
+                                   diff_field: bool = False,
                                    interpret: bool = False):
     """Multi-chip kernel training: each device runs the fused fwd/bwd pair
     over its contiguous pixel-tile range (the backward kernel masks lanes
@@ -83,7 +87,7 @@ def make_sharded_kernel_train_step(scene: Scene, camera, width: int,
     render = make_diff_renderer(
         scene, camera, width, height, max(spp // 2, 1), distance=distance,
         max_bounces=max_bounces, tile_rows=tile_rows, sampler=sampler,
-        diff_g=diff_g, interpret=interpret)
+        diff_g=diff_g, diff_field=diff_field, interpret=interpret)
     lanes = render.lanes_per_tile
     npix = render.npix
     tiles_per_shard = -(-render.num_tiles // n_data)
@@ -422,19 +426,22 @@ def fit_kernel(scene: Scene, camera, target, *, steps: int = 100,
                spp: int = 16, learning_rate=1.5e-3, distance: str = "free",
                max_bounces: int = 32, sampler: str = "random",
                seed: int = 0, diff_g: bool = False,
+               diff_field: bool = False,
                interpret: bool = False,
                param_filter=None, log_every: int = 0):
     """Recover {sigma_a, sigma_s, albedo, radiance} — plus the HG
-    anisotropy g when diff_g=True — from a target (H, W, 3) image with the
+    anisotropy g when diff_g=True, plus the exp_height fog falloff "fog_k"
+    when diff_field=True — from a target (H, W, 3) image with the
     fused kernel. `param_filter(updated, initial) -> params` can freeze
     leaves (e.g. keep everything but sigma_s fixed). Returns
     (params, losses)."""
     height, width = target.shape[:2]
     optimizer = optax.adam(learning_rate)
-    params = pack_params(scene, with_g=diff_g)
+    params = pack_params(scene, with_g=diff_g, with_field=diff_field)
     step = make_kernel_train_step(scene, camera, width, height, spp,
                                   optimizer, distance=distance,
                                   max_bounces=max_bounces, sampler=sampler,
-                                  diff_g=diff_g, interpret=interpret)
+                                  diff_g=diff_g, diff_field=diff_field,
+                                  interpret=interpret)
     return _fit_loop(step, params, optimizer, target, width, height, steps,
                      seed, param_filter, log_every)

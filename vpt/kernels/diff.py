@@ -137,6 +137,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                        sampler: str = "random",
                        physical: bool = False,
                        diff_g: bool = False,
+                       diff_field: bool = False,
                        interpret: bool = False):
     """Build render(params, seed:int) -> (npix, 3), reverse-differentiable
     w.r.t. params (see module docstring).
@@ -151,6 +152,15 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
     against future contributions (prims.dlog_hg_dg). Training can then
     recover (sigma_a, sigma_s, g) jointly at kernel speed without
     recompiling per step.
+
+    diff_field=True makes the exp_height fog falloff k a TRACED
+    differentiable scalar (params from pack_params(scene, with_field=True),
+    "fog_k", packed after g): every field evaluation reads k from SMEM, the
+    pathwise transmittance terms gain d(tr)/dk = tr * (-sigma_t * dI/dk)
+    (prims.field_tau_dk) and the free-flight event scores gain
+    dlog p(d)/dk = -(y_d - y0) - sigma_t dI(d)/dk (medium) /
+    -sigma_t dI(t)/dk (surface) — the fog shape is then recoverable from
+    images at kernel speed (the engine covers it by AD/FD only).
 
     distance='free' is the reference's active iterativeVPTracerFree family;
     'equiangular' the explicitVPTracerRecursive family (vptShadeMethods.h:
@@ -178,9 +188,15 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
             "physical estimators; the non-physical implicit_free (1-Tr) "
             "medium weight is forward-kernel/engine-only — build with "
             "physical=True or nee=True")
+    if diff_field and (fc is None or fc["kind"] != "exp_height"):
+        raise NotImplementedError(
+            "diff_field traces the exp_height fog falloff k; the scene "
+            "needs Medium.density = exp_height(...) (blob/grid field "
+            "parameters stay baked — use the engine or FD training)")
     S = len(sc["r"])
-    P = 2 + 6 * S + (1 if diff_g else 0)
+    P = 2 + 6 * S + (1 if diff_g else 0) + (1 if diff_field else 0)
     IG = 2 + 6 * S                      # packed index of g when diff_g
+    IK = 2 + 6 * S + (1 if diff_g else 0)   # packed index of fog_k
     # HG anisotropy, baked const when diff_g=False (scene value frozen like
     # the forward kernel; the phase VALUE in medium NEE and the HG scatter
     # direction are theta-independent, so every gradient family in the
@@ -233,6 +249,14 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
             rad = tuple(tuple(params_ref[2 + 3 * S + 3 * s + c]
                               for c in range(3)) for s in range(S))
             gph = params_ref[IG] if diff_g else None
+            if diff_field:
+                # exp_height falloff k as a traced SMEM read: every field
+                # helper below takes the same fc dict shape, so swapping
+                # the baked python const for the traced scalar reuses the
+                # exact forward formulas (prims.field_*)
+                fck = dict(fc, params=(params_ref[IK], fc["params"][1]))
+            else:
+                fck = fc
             sigma_t = sa + ss
             inv_st = 1.0 / sigma_t
             albedo_ratio = ss * inv_st
@@ -322,6 +346,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 dsig = [z, z, z]
                 drad = {}
                 dalb = [z, z, z]
+                dk = [z, z, z]          # d/d(fog_k) of the light strategy
                 is_lam = (~at["is_mic"]) & (~at["is_die"])
                 for e in mis_lights:
                     ec = sc["c"][e]; er = float(sc["r"][e])
@@ -342,7 +367,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                     if fc is None:
                         att = normcx
                     else:
-                        att = pr.field_tau(fc, 1.0, xs, wc, normcx)
+                        att = pr.field_tau(fck, 1.0, xs, wc, normcx)
                     tr = jnp.exp(-sigma_t * att)
                     w_vis = jnp.where(visible,
                                       tr * pr.dot3(n, wi) * fpdf_inv, 0.0)
@@ -358,6 +383,11 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                                 is_lam,
                                 rad[e][i] * w_vis * wf * (1.0 / math.pi), 0.0)
                         drad[e] = [fr[i] * w_vis * wf for i in range(3)]
+                        if diff_field:
+                            # d(tr)/dk = tr * (-sigma_t * dI/dk)
+                            dIk = pr.field_tau_dk(fck, xs, wc, normcx)
+                            for i in range(3):
+                                dk[i] += term[i] * (-sigma_t * dIk)
                 # BSDF strategy
                 u1, u2, u_choice = rng(), rng(), rng()
                 wi_l = pr.cosine_hemi(n, u1, u2)
@@ -427,7 +457,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 for i in range(3):
                     dalb[i] += jnp.where(is_lam & nz_l, le[i] * wg, 0.0)
                 return acc, {"dsig": dsig, "drad": drad, "dalb": dalb,
-                             "dle": dle, "sid2": sid2}
+                             "dle": dle, "sid2": sid2, "dk": dk}
 
             def medium_nee(rng, d, xt, lc, lrad, lr, lid):
                 wc = [lc[i] - xt[i] for i in range(3)]
@@ -459,13 +489,16 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 # the d/dsigma coefficient of this transmittance
                 if fc is None:
                     att = t
+                    datt_k = None
                 else:
-                    att = pr.field_tau(fc, 1.0, xt, wl, t)
+                    att = pr.field_tau(fck, 1.0, xt, wl, t)
+                    datt_k = (pr.field_tau_dk(fck, xt, wl, t)
+                              if (grads and diff_field) else None)
                 # phase / cone_pdf = phase * 2pi * (1 - cos_max): no div
                 w = jnp.where(visible,
                               jnp.exp(-sigma_t * att) * (phase * pr.TWO_PI)
                               * jnp.maximum(1.0 - cos_max, 1e-12), 0.0)
-                return [lrad[i] * w for i in range(3)], w, att, dlogp
+                return [lrad[i] * w for i in range(3)], w, att, dlogp, datt_k
 
             # ------------- the persistent loop ---------------------------
             def loop_body(state):
@@ -513,7 +546,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                         # forward kernel): analytic CDF inversion
                         # (exp_height) or in-kernel delta tracking (blobs —
                         # consumes the same PCG draws in fwd and replay)
-                        d_s = pr.field_sample_free(fc, sigma_t, o, d,
+                        d_s = pr.field_sample_free(fck, sigma_t, o, d,
                                                    u_dist, rng, t_eff)
                         surface = (d_s > t_eff) & hit
                         # flights that ESCAPE to vacuum kill the lane
@@ -563,8 +596,8 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                             # keep the tau chains finite (d_s==BIG escapes)
                             t_det = jnp.where(shade_pre, t_eff, 0.0)
                             d_det = jnp.where(medium, d_s, 0.0)
-                            I_surf = pr.field_tau(fc, 1.0, o, d, t_det)
-                            I_med = pr.field_tau(fc, 1.0, o, d, d_det)
+                            I_surf = pr.field_tau(fck, 1.0, o, d, t_det)
+                            I_med = pr.field_tau(fck, 1.0, o, d, d_det)
                             k_sc = jnp.where(
                                 shade_pre, -I_surf,
                                 jnp.where(medium, inv_st - I_med, 0.0))
@@ -578,6 +611,20 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                     wL0 = wt[0] * Lps[0] + wt[1] * Lps[1] + wt[2] * Lps[2]
                     acc["A_st"] += k_sc
                     acc["B_st"] += k_sc * wL0
+                    if diff_field:
+                        # fog-k score: dlog p(d)/dk = dlog dens(x_d)/dk
+                        # - sigma_t dI(d)/dk (medium) / dlog P(surf)/dk =
+                        # -sigma_t dI(t)/dk; for exp_height
+                        # dlog dens/dk = -(y_d - y0)
+                        y0c = fc["params"][1]
+                        dIk_s = pr.field_tau_dk(fck, o, d, t_det)
+                        dIk_m = pr.field_tau_dk(fck, o, d, d_det)
+                        logd_k = -(o[1] + d_det * d[1] - y0c)
+                        k_k = jnp.where(
+                            shade_pre, -sigma_t * dIk_s,
+                            jnp.where(medium, logd_k - sigma_t * dIk_m, 0.0))
+                        acc["A_k"] += k_k
+                        acc["B_k"] += k_k * wL0
 
                 em_hit = surface & at["is_em"]
                 credit = (alive & em_hit & (depth == 0) if nee
@@ -610,7 +657,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                     else:
                         inv_dl = 1.0 / jnp.maximum(dist_ls, 1e-20)
                         wlight = [(lc[i] - xs[i]) * inv_dl for i in range(3)]
-                        att_pl = pr.field_tau(fc, 1.0, xs, wlight, dist_ls)
+                        att_pl = pr.field_tau(fck, 1.0, xs, wlight, dist_ls)
                     trs = jnp.exp(-sigma_t * att_pl)
                     ldm, misp = mis_v2(rng, at, xs, nrm, d)
                     for i in range(3):
@@ -626,6 +673,16 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                             gs += wt[i] * (ldp[i] * trs * (-att_pl) * inv_ps
                                            + misp["dsig"][i]) * tp[i] * inv_cp
                         acc["g_st"] += jnp.where(shade, gs, 0.0)
+                        if diff_field:
+                            # immediate fog-k terms of the surface NEE trs
+                            # and the MIS light-strategy transmittances
+                            dIk_pl = pr.field_tau_dk(fck, xs, wlight, dist_ls)
+                            gk = z
+                            for i in range(3):
+                                gk += wt[i] * (
+                                    ldp[i] * trs * (-sigma_t * dIk_pl)
+                                    * inv_ps + misp["dk"][i]) * tp[i] * inv_cp
+                            acc["g_k"] += jnp.where(shade, gk, 0.0)
                         # radiance: pLight (picked light) + MIS light strat
                         for e in emitters:
                             m = shade & (lid == e)
@@ -680,7 +737,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                     med_dsig = -jnp.abs(d_along) \
                         - t_det2 * tr_act / one_m_tr
                 if nee:
-                    ld_med, w_med, att_nee, dlogp_nee = medium_nee(
+                    ld_med, w_med, att_nee, dlogp_nee, datt_k = medium_nee(
                         rng, d, xt, lc, lrad, lr, lid)
                     adds = [jnp.where(medium,
                                       ld_med[i] * inv_ps * tp[i] * med_scale,
@@ -697,6 +754,14 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                             gx += wt[i] * adds[i]
                         acc["g_st"] += gs
                         acc["g_ssx"] += gx * (1.0 / ss)
+                        if diff_field:
+                            # immediate fog-k term of the medium-NEE
+                            # transmittance (med_scale is k-independent:
+                            # the PBRT cancellation removes the density).
+                            # Gate on medium: escaped lanes put xt at BIG
+                            # where dI/dk overflows f32 — 0 * inf = NaN
+                            acc["g_k"] += jnp.where(
+                                medium, gx * (-sigma_t * datt_k), 0.0)
                         if diff_g:
                             # pathwise dL/dg of this bounce's NEE value:
                             # adds carries the phase(cos_nee | g) factor
@@ -767,6 +832,11 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                             finished, acc["A_g"] * WL - acc["B_g"], 0.0)
                         acc["A_g"] = jnp.where(finished, 0.0, acc["A_g"])
                         acc["B_g"] = jnp.where(finished, 0.0, acc["B_g"])
+                    if diff_field:
+                        acc["g_k"] += jnp.where(
+                            finished, acc["A_k"] * WL - acc["B_k"], 0.0)
+                        acc["A_k"] = jnp.where(finished, 0.0, acc["A_k"])
+                        acc["B_k"] = jnp.where(finished, 0.0, acc["B_k"])
                     for s in lam_ids:
                         for i in range(3):
                             a = acc[f"A_alb_{s}_{i}"]
@@ -790,6 +860,8 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                        "A_ssx": z, "B_ssx": z}
                 if diff_g:
                     acc.update({"g_g": z, "A_g": z, "B_g": z})
+                if diff_field:
+                    acc.update({"g_k": z, "A_k": z, "B_k": z})
                 for e in emitters:
                     for i in range(3):
                         acc[f"g_rad_{e}_{i}"] = z
@@ -826,6 +898,8 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
             g_ssx = acc["g_ssx"] + acc["A_ssx"] * wt_sum - acc["B_ssx"]
             if diff_g:
                 g_g = acc["g_g"] + acc["A_g"] * wt_sum - acc["B_g"]
+            if diff_field:
+                g_k = acc["g_k"] + acc["A_k"] * wt_sum - acc["B_k"]
             for s in lam_ids:
                 for i in range(3):
                     acc[f"g_alb_{s}_{i}"] += (acc[f"A_alb_{s}_{i}"] * Lps[i]
@@ -834,6 +908,8 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
             vals = {0: jnp.sum(g_st), 1: jnp.sum(g_st) + jnp.sum(g_ssx)}
             if diff_g:
                 vals[IG] = jnp.sum(g_g)
+            if diff_field:
+                vals[IK] = jnp.sum(g_k)
             for s in alb_ids:
                 for i in range(3):
                     vals[2 + 3 * s + i] = jnp.sum(acc[f"g_alb_{s}_{i}"])
@@ -911,6 +987,10 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
             raise ValueError(
                 "params must contain a 'g' leaf iff diff_g=True — build "
                 "them with pack_params(scene, with_g=diff_g)")
+        if ("fog_k" in params) != diff_field:
+            raise ValueError(
+                "params must contain a 'fog_k' leaf iff diff_field=True — "
+                "build them with pack_params(scene, with_field=diff_field)")
 
     @jax.custom_vjp
     def render(params, seed):
@@ -927,7 +1007,8 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
         gvec = run_bwd(pvec, seed, gbar)
         # seed is integer-valued: its cotangent type is float0
         seed_ct = np.zeros(np.shape(seed), jax.dtypes.float0)
-        return unpack_params(gvec, S), seed_ct
+        return unpack_params(gvec, S, with_g=diff_g,
+                             with_field=diff_field), seed_ct
 
     render.defvjp(render_fwd, render_bwd)
 
@@ -999,7 +1080,9 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
             pvec, seed, base_pixel = res
             gvec = bwd_shard(pvec, seed, base_pixel, gbar)
             f0 = lambda x: np.zeros(np.shape(x), jax.dtypes.float0)
-            return unpack_params(gvec, S), f0(seed), f0(base_pixel)
+            return (unpack_params(gvec, S, with_g=diff_g,
+                                  with_field=diff_field),
+                    f0(seed), f0(base_pixel))
 
         render_shard.defvjp(rs_fwd, rs_bwd)
         return render_shard
