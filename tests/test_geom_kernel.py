@@ -334,3 +334,94 @@ def test_equiangular_family_finite():
     assert np.isfinite(np.asarray(img)).all()
     assert np.isfinite(np.asarray(tang)).all()
     assert float(np.abs(np.asarray(tang)).max()) > 0.0
+
+
+# ---------------- Henyey-Greenstein anisotropy (g != 0) --------------------
+# The dual kernel carries the HG phase value toward the theta-dependent
+# light direction (kernels/dual.hg_phase) and rotates the HG scatter frame
+# with the dual propagation direction (dual.hg_dir) — round 3; previously
+# the geom kernel was isotropic-only and raised.
+
+import dataclasses as _dc
+
+ANISO_SCENE = _dc.replace(
+    SCENE, medium=_dc.replace(SCENE.medium, g=0.7))
+ANISO_MEDIUM_SCENE = _dc.replace(
+    MEDIUM_SCENE, medium=_dc.replace(MEDIUM_SCENE.medium, g=0.6))
+
+
+def test_hg_primal_matches_baked_kernel():
+    r = make_geom_renderer(ANISO_SCENE, CAM, W, H, SPP, sphere=LIGHT,
+                           cam_grads=False, max_bounces=MB, tile_rows=8,
+                           interpret=True)
+    img, tang = r(pack_theta(ANISO_SCENE, CAM, LIGHT), SEED)
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    assert np.isfinite(np.asarray(tang)).all()
+    run_ref = build_tile_renderer(ANISO_SCENE, CAM, W, H, SPP,
+                                  max_bounces=MB, tile_rows=8,
+                                  interpret=True)
+    ref = np.asarray(run_ref(3))
+    rel = np.abs(img - ref) / max(1.0, np.abs(ref).max())
+    assert np.quantile(rel, 0.99) < 1e-4, np.quantile(rel, 0.99)
+
+
+def test_hg_tangent_matches_fixed_seed_fd_light_y():
+    """Boundary-free anisotropic medium scene: the HG phase toward the
+    moving light center is a smooth chain, so fixed-seed FD must match
+    the dual tangent (the detached local scatter angles cancel under CRN)."""
+    r = make_geom_renderer(ANISO_MEDIUM_SCENE, CAM, W, H, SPP, sphere=0,
+                           cam_grads=False, max_bounces=MB, tile_rows=8,
+                           interpret=True)
+    th = pack_theta(ANISO_MEDIUM_SCENE, CAM, 0)
+    g, fd = _fd(r, th, "center", 1, 1e-2, 1)
+    assert np.isfinite(g) and np.isfinite(fd)
+    assert np.isclose(g, fd, rtol=8e-2, atol=1e-6), (g, fd)
+
+
+# ---------------- heterogeneous media (free-flight family) -----------------
+# Round 3: dual.field_tau / field_sample_free carry geometry tangents
+# through the analytic fields (exp_height reparameterized inversion; blobs
+# delta tracking detached). Previously the geom kernel raised on
+# Medium.density.
+
+from vpt.scene.scene import blob_cloud, foggy_cornell
+
+from vpt.media.density import exp_height as _exp_height
+
+FOG_MEDIUM_SCENE = _dc.replace(
+    MEDIUM_SCENE, medium=_dc.replace(
+        MEDIUM_SCENE.medium,
+        density=_exp_height(k=0.03, y0=-30.0, majorant=2.5)))
+
+
+@pytest.mark.parametrize("mk", [foggy_cornell, blob_cloud])
+def test_hetero_primal_matches_baked_kernel(mk):
+    sc_h = mk()
+    r = make_geom_renderer(sc_h, CAM, W, H, SPP, sphere=LIGHT if mk is
+                           foggy_cornell else 2, cam_grads=False,
+                           max_bounces=MB, tile_rows=8, interpret=True)
+    th = pack_theta(sc_h, CAM, LIGHT if mk is foggy_cornell else 2)
+    img, tang = r(th, SEED)
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    assert np.isfinite(np.asarray(tang)).all()
+    run_ref = build_tile_renderer(sc_h, CAM, W, H, SPP, max_bounces=MB,
+                                  tile_rows=8, interpret=True)
+    ref = np.asarray(run_ref(3))
+    rel = np.abs(img - ref) / max(1.0, np.abs(ref).max())
+    assert np.quantile(rel, 0.99) < 1e-4, np.quantile(rel, 0.99)
+
+
+def test_hetero_tangent_matches_fixed_seed_fd_light_y():
+    """Boundary-free foggy medium scene (exp_height): the light's motion
+    changes the heterogeneous optical depth toward it smoothly, and the
+    analytic free-flight inversion reparameterizes — fixed-seed FD must
+    match the dual tangent."""
+    r = make_geom_renderer(FOG_MEDIUM_SCENE, CAM, W, H, SPP, sphere=0,
+                           cam_grads=False, max_bounces=MB, tile_rows=8,
+                           interpret=True)
+    th = pack_theta(FOG_MEDIUM_SCENE, CAM, 0)
+    g, fd = _fd(r, th, "center", 1, 1e-2, 1)
+    assert np.isfinite(g) and np.isfinite(fd)
+    assert np.isclose(g, fd, rtol=8e-2, atol=1e-6), (g, fd)

@@ -115,15 +115,20 @@ def test_anisotropy_changes_the_image():
     assert not np.allclose(imgs[0.8], imgs[0.0], rtol=0.05)
 
 
-def test_geom_kernel_rejects_anisotropy():
-    """The geometric dual kernel is the one fused kernel still hardcoding
-    the isotropic phase (an HG value toward the theta-dependent light
-    direction needs dual arithmetic)."""
-    from vpt.kernels.geom import make_geom_renderer
+def test_geom_kernel_supports_anisotropy():
+    """Round 3: the geometric dual kernel carries the HG phase value toward
+    the theta-dependent light direction in dual arithmetic
+    (kernels/dual.hg_phase) — all three fused kernels now cover g != 0.
+    Primal parity + tangent FD oracle live in tests/test_geom_kernel.py."""
+    import numpy as np
+
+    from vpt.kernels.geom import make_geom_renderer, pack_theta
 
     scene = vpt.make_scene(g=0.5, **OPEN_FOG)
-    with pytest.raises(NotImplementedError, match="isotropic-only"):
-        make_geom_renderer(scene, CAM, 16, 8, 4, sphere=0, interpret=True)
+    r = make_geom_renderer(scene, CAM, 16, 8, 4, sphere=0, interpret=True)
+    img, tang = r(pack_theta(scene, CAM, 0), 3)
+    assert np.isfinite(np.asarray(img)).all()
+    assert np.isfinite(np.asarray(tang)).all()
 
 
 def test_fused_kernel_anisotropic_finite_and_g_sensitive():

@@ -30,7 +30,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from .prims import F32EPS, GLASS_ETA_I, GLASS_ETA_T, TWO_PI
+from .prims import F32EPS, GLASS_ETA_I, GLASS_ETA_T, INV_4PI, TWO_PI
 
 __all__ = ["D", "val", "tan", "where", "sqrt", "rsqrt", "exp", "absd",
            "maximum", "minimum", "clip"]
@@ -322,6 +322,29 @@ def uniform_sphere(u1, u2):
     st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
     phi = TWO_PI * u2
     return [st * jnp.cos(phi), st * jnp.sin(phi), ct]
+
+
+def hg_phase(cos_t, g):
+    """Henyey-Greenstein phase value for a BUILD-TIME python-const g != 0;
+    cos_t is dual (the light direction moves with theta). Primal mirrors
+    prims.hg_phase_const op-for-op (rsqrt^3 form) so the geom kernel's
+    primal plane stays bit-identical to the forward kernel."""
+    den = maximum(1.0 + g * g - 2.0 * g * cos_t, 1e-12)
+    rs = rsqrt(den)
+    return (INV_4PI * (1.0 - g * g)) * rs * rs * rs
+
+
+def hg_dir(d, g, u1, u2):
+    """HG scatter direction around the dual propagation direction d for a
+    python-const g != 0 (prims.hg_dir): the local angles are detached
+    (pure uniforms), the FRAME rotates with d — exactly the engine AD's
+    detached-decision convention."""
+    s = (1.0 - g * g) / (1.0 - g + 2.0 * g * u1)
+    cos_t = jnp.clip((1.0 + g * g - s * s) * (1.0 / (2.0 * g)), -1.0, 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi = TWO_PI * u2
+    local = [sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t]
+    return normalize3(from_local(d, local))
 
 
 def beckmann_wh(alpha, u1, u2):
@@ -649,3 +672,96 @@ def cross3(a, b):
     return [a[1] * b[2] - a[2] * b[1],
             a[2] * b[0] - a[0] * b[2],
             a[0] * b[1] - a[1] * b[0]]
+
+
+# ---------------------------------------------------------------------------
+# heterogeneous density fields (mirror prims.field_* op-for-op on the primal
+# so the geom kernel's primal plane stays bit-identical to the forward
+# kernel; positions/directions carry dual tangents, field params are baked)
+# ---------------------------------------------------------------------------
+
+def log1p(a):
+    if not isinstance(a, D):
+        return jnp.log1p(a)
+    return D(jnp.log1p(a.v), _scalet(a.t, 1.0 / (1.0 + a.v)))
+
+
+def erf_poly(x):
+    """A&S 7.1.26 erf (prims.erf_poly), dual: sign detached, rational +
+    exp chains carry tangents."""
+    s = jnp.where(val(x) >= 0.0, 1.0, -1.0)
+    a = absd(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    y = 1.0 - t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429)))) * exp(-a * a)
+    return s * y
+
+
+def field_density(fc, x):
+    """Density multiplier d(x); x is a list of 3 dual-or-plain lanes."""
+    if fc["kind"] == "exp_height":
+        k, y0 = fc["params"]
+        return exp(clip(-k * (x[1] - y0), -80.0, 80.0))
+    dens = None
+    for (cx, cy, cz, r, w) in fc["params"]:
+        dx = [x[0] - cx, x[1] - cy, x[2] - cz]
+        g = w * exp(-0.5 * dot3(dx, dx) * (1.0 / (r * r)))
+        dens = g if dens is None else dens + g
+    return dens
+
+
+def field_tau(fc, sigma_t, o, d, t):
+    """Closed-form optical depth sigma_t * int_0^t density along unit d
+    (prims.field_tau with dual o/d/t; sigma_t stays primal — the geom
+    kernel duals carry GEOMETRY tangents only)."""
+    import math as _math
+    if fc["kind"] == "exp_height":
+        k, y0 = fc["params"]
+        d0 = exp(clip(-k * (o[1] - y0), -80.0, 80.0))
+        d_end = exp(clip(-k * (o[1] + t * d[1] - y0), -80.0, 80.0))
+        m = k * d[1]
+        const = jnp.abs(val(m)) < 1e-6
+        safe_m = where(const, 1.0, m)
+        return sigma_t * where(const, d0 * t, (d0 - d_end) / safe_m)
+    tau = None
+    sqrt_half = _math.sqrt(0.5)
+    sqrt_half_pi = _math.sqrt(0.5 * _math.pi)
+    for (cx, cy, cz, r, w) in fc["params"]:
+        oc = [cx - o[0], cy - o[1], cz - o[2]]
+        a = dot3(oc, d)
+        b2 = maximum(dot3(oc, oc) - a * a, 0.0)
+        inv_r = 1.0 / r
+        amp = exp(-0.5 * b2 * (inv_r * inv_r)) * (r * sqrt_half_pi * w)
+        hi = erf_poly((t - a) * (inv_r * sqrt_half))
+        lo = erf_poly(a * (inv_r * sqrt_half))
+        g = amp * (hi + lo)
+        tau = g if tau is None else tau + g
+    return sigma_t * tau
+
+
+def field_sample_free(fc, sigma_t, o, d, u, rng, t_cap):
+    """Heterogeneous free-flight distance (prims.field_sample_free).
+    exp_height: the closed-form CDF inversion REPARAMETERIZES — the
+    sampled distance moves smoothly with the (dual) ray, matching the
+    engine's AD through the analytic inversion. blobs: delta tracking's
+    accept chain is event logic, so the distance is DETACHED (primal
+    prims loop; same PCG draw count as the forward kernel)."""
+    from .prims import BIG as _BIG
+    from . import prims as _pr
+    if fc["kind"] == "exp_height":
+        k, y0 = fc["params"]
+        d0 = exp(clip(-k * (o[1] - y0), -80.0, 80.0))
+        m = k * d[1]
+        tau_star = -log1p(-u)
+        a = maximum(sigma_t * d0, 1e-30)
+        const = jnp.abs(val(m)) < 1e-6
+        safe_m = where(const, 1.0, m)
+        arg = -tau_star * safe_m / a
+        escapes = (~const) & (val(arg) <= -1.0)
+        t_gen = -log1p(where(escapes, -0.5, arg)) / safe_m
+        t_const = tau_star / a
+        t_fin = where(escapes, _BIG, where(const, t_const, t_gen))
+        return minimum(t_fin, _BIG)
+    return _pr.field_sample_free(
+        fc, val(sigma_t), [val(c) for c in o], [val(c) for c in d],
+        val(u), rng, val(t_cap))

@@ -66,7 +66,7 @@ from ..scene.scene import Scene
 from . import dual as du
 from .prims import (BIG, INV_4PI, LD_ALPHA, TWO_PI, Pcg,
                     ld_offsets, ld_strat, pcg_seed)
-from .wavefront import _reject_anisotropy, _scene_consts
+from .wavefront import _scene_consts
 
 __all__ = ["make_geom_renderer", "pack_theta"]
 
@@ -123,17 +123,13 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
         raise ValueError("no differentiated block enabled")
     if sampler not in ("random", "ld"):
         raise ValueError(f"unknown sampler {sampler!r}")
-    # the dual kernel hardcodes the isotropic 1/4pi phase: an HG phase
-    # value toward the theta-dependent light direction would need dual
-    # arithmetic (wavefront/diff DO support g != 0; engine AD/FD covers
-    # anisotropic geometry recovery)
-    _reject_anisotropy(scene)
     sc = _scene_consts(scene)
-    if sc["field"] is not None:
+    g_hg = sc["g"]      # HG anisotropy, baked (wavefront._baked_g snap)
+    fc = sc["field"]        # heterogeneous density (None = homogeneous)
+    if fc is not None and distance != "free":
         raise NotImplementedError(
-            "the geometric dual kernel is homogeneous-only (Medium.density "
-            "set): heterogeneous tau would need dual-number erf/expm1 "
-            "chains; use the engine or FD on the forward kernel")
+            "heterogeneous media support the free-flight kernel family "
+            "only (matches the engine and the forward kernel)")
     S = len(sc["r"])
     cp = float(continue_prob)
     q = 1.0 - cp
@@ -290,7 +286,12 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
                 visible = hit & (sid == e)
                 fr = du.eval_fr_nee(at, n, d, wi)
                 fpdf_inv = TWO_PI * du.maximum(1.0 - cos_max, 1e-12)
-                tr = du.exp(normcx * (-sigma_t))
+                if fc is None:
+                    tr = du.exp(normcx * (-sigma_t))
+                else:
+                    # heterogeneous attenuation: the optical depth carries
+                    # dual tangents (xs and the light both move with theta)
+                    tr = du.exp(-du.field_tau(fc, sigma_t, xs, wc, normcx))
                 w_vis = du.where(visible, tr * du.dot3(n, wi) * fpdf_inv, z)
                 gpdf = du.bsdf_pdf_for_dir(at, n, wo, wi, rng())
                 wf = du.power_h_invf(fpdf_inv, gpdf)
@@ -355,7 +356,7 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
             wg = du.where(gate & hit, du.power_h_invg(gpdf, fpdf_h_inv), z)
             return [acc[i] + g[i] * wg for i in range(3)]
 
-        def medium_nee(rng, xt, lc, lrad, lr, lid):
+        def medium_nee(rng, d, xt, lc, lrad, lr, lid):
             wc = [lc[i] - xt[i] for i in range(3)]
             inv_mag = du.rsqrt(du.maximum(du.dot3(wc, wc), 1e-20))
             wc_n = du.scale3(wc, inv_mag)
@@ -364,9 +365,20 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
             wl = du.cone_dir(wc_n, cos_max, rng(), rng())
             hit, t, sid = du.nearest_id_t(sc, ctr_tab, xt, wl)
             visible = hit & (sid == lid) & (lr > 0.0)
-            # INV_4PI / cone_pdf = INV_4PI * 2pi * (1 - cos_max): no dual div
+            if g_hg != 0.0:
+                # HG phase toward the cone sample: BOTH the propagation
+                # direction d and the light direction wl move with theta,
+                # so the phase value carries dual tangents (du.hg_phase)
+                phase_2pi = du.hg_phase(du.dot3(d, wl), g_hg) * TWO_PI
+            else:
+                phase_2pi = INV_4PI * TWO_PI    # folded const, as before
+            if fc is None:
+                tr_l = du.exp(t * (-sigma_t))
+            else:
+                tr_l = du.exp(-du.field_tau(fc, sigma_t, xt, wl, t))
+            # phase / cone_pdf = phase * 2pi * (1 - cos_max): no dual div
             w = du.where(visible,
-                         du.exp(t * (-sigma_t)) * (INV_4PI * TWO_PI)
+                         tr_l * phase_2pi
                          * du.maximum(1.0 - cos_max, 1e-12), z)
             return [lrad[i] * w for i in range(3)]
 
@@ -407,8 +419,19 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
             inv_ps = float(n_em)
 
             if distance == "free":
-                d_s = -jnp.log1p(-u_dist) * inv_st       # sigma-only: plain
-                surface = (t_eff < d_s) & hit
+                if fc is None:
+                    d_s = -jnp.log1p(-u_dist) * inv_st   # sigma-only: plain
+                    surface = (t_eff < d_s) & hit
+                else:
+                    # heterogeneous free flight: exp_height's analytic
+                    # inversion REPARAMETERIZES (d_s moves with the dual
+                    # ray, as the engine's AD does); blobs' delta tracking
+                    # is detached event logic (dual.field_sample_free)
+                    d_s = du.field_sample_free(fc, sigma_t, o, d, u_dist,
+                                               rng, t_eff)
+                    surface = (t_eff < d_s) & hit
+                    # escaped flights kill the lane (wavefront.py parity)
+                    alive = alive & ((d_s < 0.5 * BIG) | surface)
                 xt = [o[i] + d[i] * d_s for i in range(3)]
             else:
                 # equiAngularParams2 + Bernoulli(TrActual): the distance
@@ -451,7 +474,13 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
 
             if nee:
                 ldp, dist_ls = plight_term(at, xs, nrm, d, lc, lrad)
-                trs = du.exp(dist_ls * (-sigma_t))
+                if fc is None:
+                    trs = du.exp(dist_ls * (-sigma_t))
+                else:
+                    inv_dl = 1.0 / du.maximum(dist_ls, 1e-20)
+                    wlight = [(lc[i] - xs[i]) * inv_dl for i in range(3)]
+                    trs = du.exp(-du.field_tau(fc, sigma_t, xs, wlight,
+                                               dist_ls))
                 ldm = mis_v2(rng, at, xs, nrm, d)
                 for i in range(3):
                     L[i] = L[i] + du.where(
@@ -465,13 +494,18 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
             tp_surface = [tp[i] * fs[i] * wscale for i in range(3)]
 
             u_p1, u_p2 = rng(), rng()
-            wi_m = du.uniform_sphere(u_p1, u_p2)      # plain: pure uniforms
+            if g_hg != 0.0:
+                # HG importance sampling (phase/pdf == 1): local angles
+                # are detached uniforms, the frame rotates with d
+                wi_m = du.hg_dir(d, g_hg, u_p1, u_p2)
+            else:
+                wi_m = du.uniform_sphere(u_p1, u_p2)  # plain: pure uniforms
             if distance == "free":
                 med_scale = ar_cp                     # traced scalar
             else:
                 med_scale = (t_xt / pdf_success) * (ss / cp)
             if nee:
-                ld_med = medium_nee(rng, xt, lc, lrad, lr, lid)
+                ld_med = medium_nee(rng, d, xt, lc, lrad, lr, lid)
                 for i in range(3):
                     L[i] = L[i] + du.where(
                         medium, ld_med[i] * inv_ps * tp[i] * med_scale, z)

@@ -57,19 +57,6 @@ def _baked_g(scene: Scene) -> float:
     return g if abs(g) > _G_EPS else 0.0
 
 
-def _reject_anisotropy(scene: Scene) -> float:
-    """Guard for the fused kernels that still hardcode the isotropic
-    1/4pi phase (the geometric dual kernel: the HG phase value toward a
-    theta-dependent light direction would need dual arithmetic)."""
-    g = _baked_g(scene)
-    if g != 0.0:
-        raise NotImplementedError(
-            f"this fused kernel is isotropic-only (Medium.g == 0); got "
-            f"g={g}. Use renderer='scan'/'persistent' (the engine volume "
-            f"family supports Henyey-Greenstein anisotropy).")
-    return g
-
-
 def _scene_consts(scene: Scene):
     """Freeze the scene into python-float structure for kernel baking."""
     # everything becomes PYTHON floats/ints: weak-typed constants that fold

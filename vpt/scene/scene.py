@@ -33,16 +33,18 @@ class Medium:
 
     g: Henyey-Greenstein anisotropy in (-1, 1); 0 (the default, and the
     reference's only behavior) is isotropic. g != 0 is supported by the
-    engine volume family (media/medium.hg_phase) and by the fused Pallas
-    render + diff kernels (baked at build time, kernels/prims.hg_dir);
-    only the geometric dual kernel (kernels/geom.py) is isotropic-only
-    and raises.
+    engine volume family (media/medium.hg_phase) and by all three fused
+    Pallas kernels — render + diff (baked / traced with diff_g=True) and
+    the geometric dual kernel (kernels/dual.hg_phase: the phase value
+    toward the theta-dependent light direction carries dual tangents).
 
     density: optional spatially-varying density field (media/density.py;
     ours — the reference medium is strictly homogeneous). None (default)
     is the homogeneous medium. When set, sigma_a(x)/sigma_s(x) =
     sigma_a/sigma_s * density(x); supported by the free-flight engine
-    family and the fused render kernel."""
+    family and all three fused kernels (render, diff — incl. traced
+    fog_k via diff_field=True — and the geometric dual kernel); the
+    voxel-grid field is engine-only."""
 
     sigma_a: jnp.ndarray
     sigma_s: jnp.ndarray
