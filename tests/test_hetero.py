@@ -475,3 +475,67 @@ def test_grid_rejected_by_fused_kernel():
     with pytest.raises(NotImplementedError):
         build_tile_renderer(scene, vpt.default_camera(), 16, 8, 2,
                             nee=True, interpret=True)
+
+
+@pytest.mark.slow
+def test_engine_hetero_sigma_score_matches_kernel():
+    """Round 3: engine.IntegratorSpec(sigma_score=True) supports
+    heterogeneous media — the event log-densities swap the homogeneous
+    closed forms for the field optical depth + local density, so sigma AND
+    field-param event gradients are unbiased under AD. Cross-validate
+    E[dL/d(sigma_a, sigma_s, fog_k)] against the independently-derived
+    diff-kernel estimator (diff_field=True): different RNG backends
+    (threefry vs PCG), different autodiff modes (AD surrogate vs
+    hand-accumulated replay), same derivative."""
+    import vpt
+    from vpt.integrators import engine
+    from vpt.kernels.diff import make_diff_renderer, pack_params
+    from vpt.scene import camera as cam_mod
+
+    base = foggy_cornell()
+    CAM = vpt.default_camera()
+    W, H, SPP = 12, 8, 4
+    spec = engine.IntegratorSpec(max_bounces=8, sigma_score=True)
+    ids = jnp.arange(W * H, dtype=jnp.int32)
+
+    @jax.jit
+    def eng_grad(key):
+        def loss(vec):
+            field = df.DensityField(
+                params=jnp.stack([vec[2], jnp.float32(-40.8)]),
+                kind="exp_height", majorant=1.01)
+            sc = dataclasses.replace(
+                base, medium=Medium(vec[0], vec[1], 0.0, field))
+
+            def one(acc, s):
+                ks = jax.random.fold_in(key, s)
+                o, d = cam_mod.rays_for_pixels(CAM, W, H, ids, ks, True)
+                return acc + engine.trace(sc, spec, o, d, ks,
+                                          differentiable=True), None
+
+            acc, _ = jax.lax.scan(one, jnp.zeros((W * H, 3)),
+                                  jnp.arange(SPP))
+            return jnp.mean(acc / SPP)
+
+        return jax.grad(loss)(jnp.asarray(
+            [base.medium.sigma_a, base.medium.sigma_s, 0.06], jnp.float32))
+
+    n = 16
+    eng = np.stack([np.asarray(eng_grad(jax.random.PRNGKey(600 + i)))
+                    for i in range(n)])
+
+    render = make_diff_renderer(base, CAM, W, H, SPP, max_bounces=8,
+                                tile_rows=8, diff_field=True, interpret=True)
+    params = pack_params(base, with_field=True)
+    gk = jax.jit(jax.grad(lambda p, s: jnp.mean(render(p, s))))
+    ker = np.stack([
+        np.asarray([float(g["sigma_a"]), float(g["sigma_s"]),
+                    float(g["fog_k"])])
+        for g in (gk(params, jnp.int32(800 + i)) for i in range(n))])
+
+    for j, name in enumerate(("sigma_a", "sigma_s", "fog_k")):
+        em, es = eng[:, j].mean(), eng[:, j].std() / np.sqrt(n)
+        km, ks_ = ker[:, j].mean(), ker[:, j].std() / np.sqrt(n)
+        tol = 4.0 * np.hypot(es, ks_) + 0.08 * max(abs(em), abs(km))
+        assert np.isfinite([em, km]).all(), name
+        assert abs(em - km) < tol, (name, em, es, km, ks_)

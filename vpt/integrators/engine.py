@@ -180,11 +180,9 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
                 "heterogeneous media support the free-flight family only "
                 "(equi-angular pdf shaping toward a light is a homogeneous-"
                 "transmittance construction, vptShadeMethods.h:1093)")
-        if spec.sigma_score:
-            raise NotImplementedError(
-                "sigma_score accumulates homogeneous log-densities; use "
-                "the reparameterized analytic-inversion gradient "
-                "(exp_height) or FD training for heterogeneous media")
+        # sigma_score + field: the event log-densities below swap the
+        # homogeneous closed forms for the field's optical depth
+        # (round 3; previously raised)
     cp = spec.continue_prob
     q = 1.0 - cp
     N = st.o.shape[0]
@@ -269,11 +267,35 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
     if spec.sigma_score:
         t_det = jax.lax.stop_gradient(jnp.where(hit, t, 1.0))
         if spec.distance == FREE:
-            # joint density of the free-flight event: sigma_t e^{-sigma_t d}
-            # (medium, hit or miss) / e^{-sigma_t t} (reached the surface)
-            s_add = jnp.where(
-                surface_event, -sigma_t * t_det,
-                jnp.log(sigma_t) - sigma_t * d_s)
+            if field is None:
+                # joint density of the free-flight event:
+                # sigma_t e^{-sigma_t d} (medium, hit or miss) /
+                # e^{-sigma_t t} (reached the surface)
+                s_add = jnp.where(
+                    surface_event, -sigma_t * t_det,
+                    jnp.log(sigma_t) - sigma_t * d_s)
+            else:
+                # heterogeneous: p(d) = sigma_t dens(x_d) e^{-tau(d)},
+                # P(surf) = e^{-tau(t)} — the optical depth and the local
+                # density carry the sigma AND field-param (k, blob weights,
+                # grid voxels) dependence, so this one score term makes
+                # every field parameter's event gradient unbiased under AD.
+                # Escaped flights (d_s == BIG) die and contribute nothing
+                # downstream, so their score term is exactly zero — and
+                # the gated distance keeps the tau chain (and its VJP)
+                # finite (0 * NaN poisons reverse mode otherwise)
+                d_gate = jax.lax.stop_gradient(
+                    jnp.where(d_s < 0.5 * geo.BIG, d_s, 0.0))
+                tau_surf = den.optical_depth(field, sigma_t, st.o, st.d,
+                                             t_det)
+                tau_med = den.optical_depth(field, sigma_t, st.o, st.d,
+                                            d_gate)
+                x_med = jax.lax.stop_gradient(
+                    st.o + d_gate[:, None] * st.d)
+                dens_med = jnp.maximum(den.density(field, x_med), 1e-30)
+                s_add = jnp.where(
+                    surface_event, -tau_surf,
+                    jnp.log(sigma_t) + jnp.log(dens_med) - tau_med)
         else:
             # Bernoulli(TrActual) event; the EA distance pdf itself is
             # sigma-independent (vptSamplingFunctions.h:60-62)
