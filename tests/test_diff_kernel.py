@@ -243,19 +243,22 @@ def test_ld_deterministic_and_unbiased_vs_random(render_ld, render):
 from vpt.scene.scene import blob_cloud, foggy_cornell, medium_shell
 
 
-@pytest.mark.parametrize("make_scene", [foggy_cornell, blob_cloud,
-                                        medium_shell])
-def test_diff_hetero_fwd_matches_baked_kernel(make_scene):
+@pytest.mark.parametrize("make_scene,distance", [
+    (foggy_cornell, "free"), (blob_cloud, "free"), (medium_shell, "free"),
+    (foggy_cornell, "equiangular"),     # round 3: hetero EA family
+])
+def test_diff_hetero_fwd_matches_baked_kernel(make_scene, distance):
     """Contract 1 for the heterogeneous fields (exp_height analytic
     inversion; blobs delta tracking — the replay consumes the same PCG
-    subsequence) and for material-3 shells (prims.plight_le_scale shared
-    cascade)."""
+    subsequence), for material-3 shells (prims.plight_le_scale shared
+    cascade), and for the heterogeneous equi-angular family."""
     sc = make_scene()
     r = make_diff_renderer(sc, CAM, W, H, SPP, max_bounces=8,
-                           tile_rows=8, interpret=True)
+                           distance=distance, tile_rows=8, interpret=True)
     img = np.asarray(r(pack_params(sc), 3))
     run_ref = build_tile_renderer(sc, CAM, W, H, SPP, max_bounces=8,
-                                  tile_rows=8, interpret=True)
+                                  distance=distance, tile_rows=8,
+                                  interpret=True)
     ref = np.asarray(run_ref(3))
     assert np.isfinite(img).all()
     assert np.abs(img - ref).max() < 1e-5 * max(1.0, np.abs(ref).max())
@@ -295,9 +298,12 @@ def test_hetero_albedo_radiance_grads_exact_per_seed(render_fog, leaf,
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("make_scene,h", [(foggy_cornell, 2e-3),
-                                          (blob_cloud, 2e-3)])
-def test_hetero_sigma_grads_match_crn_fd(make_scene, h):
+@pytest.mark.parametrize("make_scene,h,distance", [
+    (foggy_cornell, 2e-3, "free"),
+    (blob_cloud, 2e-3, "free"),
+    (foggy_cornell, 2e-3, "equiangular"),   # round 3: hetero EA scores
+])
+def test_hetero_sigma_grads_match_crn_fd(make_scene, h, distance):
     """Contract 3 for heterogeneous media: E[d mean(img) / d sigma] from the
     score-function backward agrees with common-random-number central finite
     differences of the pair's own forward (same PCG streams at theta +- h,
@@ -305,7 +311,7 @@ def test_hetero_sigma_grads_match_crn_fd(make_scene, h):
     mass) within combined standard error."""
     sc = make_scene()
     r = make_diff_renderer(sc, CAM, W, H, SPP, max_bounces=8,
-                           tile_rows=8, interpret=True)
+                           distance=distance, tile_rows=8, interpret=True)
     params = pack_params(sc)
 
     # seed stays traced: a static seed would recompile the interpret-mode
@@ -337,7 +343,7 @@ def test_diff_hetero_guards():
     sc = foggy_cornell()
     with pytest.raises(NotImplementedError, match="free-flight"):
         make_diff_renderer(sc, CAM, W, H, SPP, distance="equiangular",
-                           interpret=True)
+                           diff_field=True, interpret=True)
     with pytest.raises(NotImplementedError, match="implicit"):
         make_diff_renderer(SCENE, CAM, W, H, SPP, nee=False, physical=False,
                            interpret=True)

@@ -395,11 +395,15 @@ FOG_MEDIUM_SCENE = _dc.replace(
         density=_exp_height(k=0.03, y0=-30.0, majorant=2.5)))
 
 
-@pytest.mark.parametrize("mk", [foggy_cornell, blob_cloud])
-def test_hetero_primal_matches_baked_kernel(mk):
+@pytest.mark.parametrize("mk,distance", [
+    (foggy_cornell, "free"), (blob_cloud, "free"),
+    (foggy_cornell, "equiangular"),     # round 3: hetero EA duals
+])
+def test_hetero_primal_matches_baked_kernel(mk, distance):
     sc_h = mk()
     r = make_geom_renderer(sc_h, CAM, W, H, SPP, sphere=LIGHT if mk is
                            foggy_cornell else 2, cam_grads=False,
+                           distance=distance,
                            max_bounces=MB, tile_rows=8, interpret=True)
     th = pack_theta(sc_h, CAM, LIGHT if mk is foggy_cornell else 2)
     img, tang = r(th, SEED)
@@ -407,6 +411,7 @@ def test_hetero_primal_matches_baked_kernel(mk):
     assert np.isfinite(img).all()
     assert np.isfinite(np.asarray(tang)).all()
     run_ref = build_tile_renderer(sc_h, CAM, W, H, SPP, max_bounces=MB,
+                                  distance=distance,
                                   tile_rows=8, interpret=True)
     ref = np.asarray(run_ref(3))
     rel = np.abs(img - ref) / max(1.0, np.abs(ref).max())

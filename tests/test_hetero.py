@@ -196,12 +196,35 @@ def test_engine_hetero_explicit_implicit_agree():
     assert abs(m_e - m_i) / max(m_e, m_i) < 0.2, (m_e, m_i)
 
 
-def test_hetero_rejects_equiangular_and_legacy():
+def test_hetero_rejects_legacy():
+    # legacy/surface/marcher reference-parity integrators stay homogeneous
+    # by definition; the EA volume family now supports fields (round 3)
     scene = foggy_cornell()
     with pytest.raises(NotImplementedError):
-        _render(scene, "explicit_equiangular", spp=2)
-    with pytest.raises(NotImplementedError):
         _render(scene, "vpt3", spp=2)
+
+
+def test_engine_hetero_equiangular_renders_and_agrees_with_free():
+    """Round 3: the equi-angular family runs on heterogeneous media (the
+    EA transform is pure geometry; Bernoulli(Tr), the explicit T factor
+    and sigma_s(xt) take the field forms). Same-estimand check: EA and
+    free-flight explicit must agree in expectation in fog."""
+    scene = foggy_cornell()
+    ea = _render(scene, "explicit_equiangular", w=20, h=15, spp=48, seed=5)
+    fr = _render(scene, "explicit_free", w=20, h=15, spp=48, seed=9)
+    assert np.isfinite(ea).all() and (ea >= 0).all()
+    m_e, m_f = float(np.clip(ea, 0, 1).mean()), float(np.clip(fr, 0, 1).mean())
+    assert abs(m_e - m_f) / max(m_e, m_f) < 0.15, (m_e, m_f)
+    # k -> 0 limit: hetero-EA == homogeneous EA formulas on the same draws
+    import dataclasses as _dc
+    sc0 = _dc.replace(scene, medium=Medium(
+        scene.medium.sigma_a, scene.medium.sigma_s, 0.0,
+        df.exp_height(k=0.0, y0=-40.8, majorant=1.01)))
+    sch = _dc.replace(scene, medium=Medium(
+        scene.medium.sigma_a, scene.medium.sigma_s, 0.0, None))
+    i0 = _render(sc0, "explicit_equiangular", w=12, h=9, spp=4, seed=2)
+    ih = _render(sch, "explicit_equiangular", w=12, h=9, spp=4, seed=2)
+    np.testing.assert_allclose(i0, ih, rtol=2e-4, atol=2e-6)
 
 
 # --------------------------------------------------------------------------
@@ -244,10 +267,22 @@ def test_pallas_hetero_smoke_and_determinism():
     assert not np.array_equal(a, c)
 
 
-def test_pallas_hetero_rejects_equiangular():
-    with pytest.raises(NotImplementedError):
-        build_tile_renderer(foggy_cornell(), vpt.default_camera(), 16, 8, 4,
-                            nee=True, distance="equiangular", interpret=True)
+@pytest.mark.slow
+def test_pallas_hetero_equiangular_matches_engine_statistically():
+    """Round 3: the fused kernel's EA branch takes heterogeneous fields;
+    kernel-vs-engine mean parity in fog (different RNG backends)."""
+    scene = foggy_cornell()
+    w, h = 16, 12
+    run = build_tile_renderer(scene, vpt.default_camera(), w, h, 48,
+                              distance="equiangular", max_bounces=10,
+                              tile_rows=8, interpret=True)
+    img_k = np.clip(np.asarray(run(3)).reshape(-1, 3), 0, 1)
+    img_e = np.clip(np.asarray(_render(scene, "explicit_equiangular",
+                                       w=w, h=h, spp=48,
+                                       seed=7)).reshape(-1, 3), 0, 1)
+    m_k, m_e = img_k.mean(), img_e.mean()
+    assert np.isfinite(img_k).all()
+    assert abs(m_k - m_e) / max(m_k, m_e) < 0.12, (m_k, m_e)
 
 
 def test_engine_hetero_field_params_differentiable():

@@ -174,15 +174,12 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
     # medium is homogeneous). Supported by the free-flight family: the PBRT
     # cancellation carries over because sigma_a/sigma_s share the density.
     field = scene.medium.density
-    if field is not None:
-        if spec.distance != FREE:
-            raise NotImplementedError(
-                "heterogeneous media support the free-flight family only "
-                "(equi-angular pdf shaping toward a light is a homogeneous-"
-                "transmittance construction, vptShadeMethods.h:1093)")
-        # sigma_score + field: the event log-densities below swap the
-        # homogeneous closed forms for the field's optical depth
-        # (round 3; previously raised)
+    # Heterogeneous media run in BOTH distance families (round 3; EA
+    # previously raised): the equi-angular transform is pure geometry (its
+    # pdf never references the medium), so only the Bernoulli(Tr), the
+    # explicit T factor and sigma_s(xt) swap to the field forms.
+    # sigma_score + field: the event log-densities swap the homogeneous
+    # closed forms for the field's optical depth too
     cp = spec.continue_prob
     q = 1.0 - cp
     N = st.o.shape[0]
@@ -250,6 +247,9 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
             x0, D, th_a, th_b = dist.equi_angular_params(light_center, st.o, st.d, xs)
             sample_t = dist.equi_angular_sample(D, th_a, th_b, u_dist)
             xt = x0 + sample_t[:, None] * st.d
+            # distance of xt from o along d (x0 = o + delta*d): consumed
+            # by the heterogeneous T(o -> xt) below
+            d_along = vm.dot(xt - st.o, st.d)
         else:
             d_along, D, th_a, th_b, sample_t = dist.equi_angular_params2(
                 light_center, st.o, st.d, t_eff, u_dist
@@ -299,9 +299,14 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
         else:
             # Bernoulli(TrActual) event; the EA distance pdf itself is
             # sigma-independent (vptSamplingFunctions.h:60-62)
+            if field is None:
+                log_tr = -sigma_t * t_det
+            else:
+                log_tr = -den.optical_depth(field, sigma_t, st.o, st.d,
+                                            t_det)
             s_add = jnp.where(
-                surface_event, -sigma_t * t_det,
-                jnp.where(hit, jnp.log1p(-jnp.exp(-sigma_t * t_det)), 0.0))
+                surface_event, log_tr,
+                jnp.where(hit, jnp.log1p(-jnp.exp(log_tr)), 0.0))
         score = st.score + jnp.where(alive, s_add, 0.0)
         w_sc = (1.0 + score - jax.lax.stop_gradient(score))[:, None]
     else:
@@ -364,10 +369,21 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
 
     # --- MEDIUM branch --------------------------------------------------
     medium = alive & ~surface_event
-    # Tr(o -> xt): only consumed by the EA family and the quirky implicit
-    # free weight, both of which take the heterogeneous cancelled forms
-    # below instead
-    t_xt = med.transmittance(st.o, xt, sigma_t) if field is None else None
+    # Tr(o -> xt) and sigma_s(xt): consumed by the EA family's explicit
+    # weights (the free family uses the cancelled forms below). d_along can
+    # be negative (the EA transform may sample behind the origin; the
+    # reference attenuates over |d_along|) — the field optical depth is odd
+    # in t, so |tau| is the segment's depth.
+    if field is None:
+        t_xt = med.transmittance(st.o, xt, sigma_t)
+        sigma_s_x = sigma_s
+    elif spec.distance != FREE:
+        t_xt = jnp.exp(-jnp.abs(
+            den.optical_depth(field, sigma_t, st.o, st.d, d_along)))
+        sigma_s_x = sigma_s * den.density(field, xt)
+    else:
+        t_xt = None
+        sigma_s_x = None
     u_c1, u_c2 = rng.uniform(rng.fold(kb, rng.Tag.NEE_CONE), (2, N), dtype)
     u_p1, u_p2 = rng.uniform(rng.fold(kb, rng.Tag.PHASE), (2, N), dtype)
     # HG anisotropy (Medium.g, 0 = the reference's isotropic medium): the
@@ -444,20 +460,21 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
                         rng.fold(kb, rng.Tag.NEE_CONE, j + 1), (2, N), dtype)
                     ld_med = ld_med + nee_mod.single_scattering(
                         scene, xt, jnp.full((N,), e, jnp.int32), sigma_t,
-                        sigma_s, t_xt, 1.0, ue1, ue2,
+                        sigma_s_x, t_xt, 1.0, ue1, ue2,
                         physical_point_nee=spec.physical_point_nee,
-                        d_in=st.d, g=g_hg,
+                        d_in=st.d, g=g_hg, field=field,
                     )
             else:
                 ld_med = nee_mod.single_scattering(
-                    scene, xt, idsource, sigma_t, sigma_s, t_xt, prob_source,
-                    u_c1, u_c2, physical_point_nee=spec.physical_point_nee,
-                    d_in=st.d, g=g_hg,
+                    scene, xt, idsource, sigma_t, sigma_s_x, t_xt,
+                    prob_source, u_c1, u_c2,
+                    physical_point_nee=spec.physical_point_nee,
+                    d_in=st.d, g=g_hg, field=field,
                 )
             L = L + jnp.where(
                 medium[:, None], ld_med * st.tp / (pdf_success * cp)[:, None], 0.0
             ) * w_sc
-        w = sigma_s * t_xt / (cp * pdf_success)
+        w = sigma_s_x * t_xt / (cp * pdf_success)
         tp_medium = st.tp * w[:, None]
 
     # --- merge continuations ---------------------------------------------

@@ -178,10 +178,10 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
         raise ValueError(f"unknown sampler {sampler!r}")
     sc = _scene_consts(scene)
     fc = sc["field"]        # heterogeneous density (None = homogeneous)
-    if fc is not None and distance != "free":
+    if diff_field and distance != "free":
         raise NotImplementedError(
-            "heterogeneous media support the free-flight kernel family "
-            "only (matches the engine and the forward kernel)")
+            "diff_field (traced fog_k) is free-flight-only: the EA family's"
+            " Tr/T/pSuccess/dens(xt) factors would each need dI/dk chains")
     if not nee and not physical:
         raise NotImplementedError(
             "the differentiable pair implements the explicit (NEE) and "
@@ -571,12 +571,23 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                     xt = [o[i] + d_along * d[i] for i in range(3)]
                     dist_pdf = Dq / (jnp.maximum(jnp.abs(th_b - th_a), 1e-12)
                                      * (sample_t * sample_t + Dq * Dq))
-                    tr_act = jnp.where(hit, jnp.exp(-sigma_t * t), 0.0)
+                    if fc is None:
+                        # att_* = optical path per unit sigma (homogeneous:
+                        # plain distances) — shared by the weights here and
+                        # the sigma scores/med_dsig below
+                        att_t = jnp.where(hit, t, 0.0)
+                        att_along = jnp.abs(d_along)
+                    else:
+                        t_det0 = jnp.where(hit, t, 0.0)
+                        att_t = pr.field_tau(fc, 1.0, o, d, t_det0)
+                        att_along = jnp.abs(
+                            pr.field_tau(fc, 1.0, o, d, d_along))
+                    tr_act = jnp.where(hit, jnp.exp(-sigma_t * att_t), 0.0)
                     u_ev = rng()
                     surface = (u_ev <= tr_act) & hit
                     one_m_tr = jnp.maximum(1.0 - tr_act, 1e-20)
                     pdf_success = dist_pdf * one_m_tr
-                    t_xt = jnp.exp(-sigma_t * jnp.abs(d_along))
+                    t_xt = jnp.exp(-sigma_t * att_along)
                 medium = alive & ~surface
                 shade_pre = alive & surface
 
@@ -602,11 +613,11 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                                 shade_pre, -I_surf,
                                 jnp.where(medium, inv_st - I_med, 0.0))
                     else:
-                        # Bernoulli(Tr): surface log Tr = -sigma_t t;
+                        # Bernoulli(Tr): surface log Tr = -sigma_t*att_t;
                         # medium log(1 - Tr); pdf itself sigma-independent
-                        t_det = jnp.where(hit, t, 0.0)
-                        k_med = t_det * tr_act / one_m_tr
-                        k_sc = jnp.where(shade_pre, -t_det,
+                        # (att_t generalizes t to the field optical path)
+                        k_med = att_t * tr_act / one_m_tr
+                        k_sc = jnp.where(shade_pre, -att_t,
                                          jnp.where(medium & hit, k_med, 0.0))
                     wL0 = wt[0] * Lps[0] + wt[1] * Lps[1] + wt[2] * Lps[2]
                     acc["A_st"] += k_sc
@@ -732,10 +743,12 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                     med_dsig = -inv_st + z
                 else:
                     # explicit T and 1/pSuccess (vptShadeMethods.h:1139-1146)
-                    t_det2 = jnp.where(hit, t, 0.0)
                     med_scale = ss * t_xt * inv_cp / pdf_success
-                    med_dsig = -jnp.abs(d_along) \
-                        - t_det2 * tr_act / one_m_tr
+                    if fc is not None:
+                        # sigma_s(xt) = sigma_s * dens(xt); dens is
+                        # sigma-independent so med_dsig is unchanged in form
+                        med_scale = med_scale * pr.field_density(fc, xt)
+                    med_dsig = -att_along - att_t * tr_act / one_m_tr
                 if nee:
                     ld_med, w_med, att_nee, dlogp_nee, datt_k = medium_nee(
                         rng, d, xt, lc, lrad, lr, lid)

@@ -125,11 +125,9 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
         raise ValueError(f"unknown sampler {sampler!r}")
     sc = _scene_consts(scene)
     g_hg = sc["g"]      # HG anisotropy, baked (wavefront._baked_g snap)
-    fc = sc["field"]        # heterogeneous density (None = homogeneous)
-    if fc is not None and distance != "free":
-        raise NotImplementedError(
-            "heterogeneous media support the free-flight kernel family "
-            "only (matches the engine and the forward kernel)")
+    fc = sc["field"]        # heterogeneous density (None = homogeneous;
+    # both distance families take fields — the EA transform is pure
+    # geometry, only Tr/T/sigma_s(xt) swap to the dual field forms)
     S = len(sc["r"])
     cp = float(continue_prob)
     q = 1.0 - cp
@@ -450,12 +448,23 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
                 xt = [o[i] + d_along * d[i] for i in range(3)]
                 dist_pdf = Dq / (du.maximum(du.absd(th_b - th_a), 1e-12)
                                  * (sample_t * sample_t + Dq * Dq))
-                tr_act = du.where(hit, du.exp(t * (-sigma_t)), z)
+                if fc is None:
+                    tr_act = du.where(hit, du.exp(t * (-sigma_t)), z)
+                    t_xt = du.exp(du.absd(d_along) * (-sigma_t))
+                else:
+                    # heterogeneous Bernoulli(Tr) + explicit T with dual
+                    # optical depths (|tau| = the segment's depth even when
+                    # the EA transform samples behind the origin)
+                    t_det = du.where(hit, t, z)
+                    tr_act = du.where(
+                        hit,
+                        du.exp(-du.field_tau(fc, sigma_t, o, d, t_det)), z)
+                    t_xt = du.exp(-du.absd(
+                        du.field_tau(fc, sigma_t, o, d, d_along)))
                 u_ev = rng()
                 surface = (tr_act >= u_ev) & hit
                 one_m_tr = du.maximum(1.0 - tr_act, 1e-20)
                 pdf_success = dist_pdf * one_m_tr
-                t_xt = du.exp(du.absd(d_along) * (-sigma_t))
             medium = alive & ~surface
             shade_pre = alive & surface
 
@@ -504,6 +513,9 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
                 med_scale = ar_cp                     # traced scalar
             else:
                 med_scale = (t_xt / pdf_success) * (ss / cp)
+                if fc is not None:
+                    # sigma_s(xt) = sigma_s * dens(xt), dual through xt
+                    med_scale = med_scale * du.field_density(fc, xt)
             if nee:
                 ld_med = medium_nee(rng, d, xt, lc, lrad, lr, lid)
                 for i in range(3):

@@ -153,10 +153,9 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
     scatter = bool(scatter_tiles)
     sc = _scene_consts(scene)
     fc = sc["field"]        # heterogeneous density (None = homogeneous)
-    if fc is not None and distance != "free":
-        raise NotImplementedError(
-            "heterogeneous media support the free-flight kernel family "
-            "only (matches the engine, integrators/engine.py)")
+    # both distance families take heterogeneous fields (round 3; the EA
+    # transform is pure geometry — only Tr/T/sigma_s(xt) swap to the field
+    # forms, matching the engine)
     S = len(sc["r"])
     cp = float(continue_prob)
     q = 1.0 - cp
@@ -434,12 +433,24 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                 xt = [o[i] + d_along * d[i] for i in range(3)]
                 dist_pdf = D / (jnp.maximum(jnp.abs(th_b - th_a), 1e-12)
                                 * (sample_t * sample_t + D * D))
-                tr_actual = jnp.where(hit, jnp.exp(-sigma_t * t), 0.0)
+                if fc is None:
+                    tr_actual = jnp.where(hit, jnp.exp(-sigma_t * t), 0.0)
+                    t_xt = jnp.exp(-sigma_t * jnp.abs(d_along))
+                else:
+                    # heterogeneous Bernoulli(Tr) + explicit T: the optical
+                    # depth is odd in t, so |tau| is the segment's depth
+                    # even when the EA transform samples behind the origin
+                    t_det = jnp.where(hit, t, 0.0)
+                    tr_actual = jnp.where(
+                        hit,
+                        jnp.exp(-pr.field_tau(fc, sigma_t, o, d, t_det)),
+                        0.0)
+                    t_xt = jnp.exp(-jnp.abs(
+                        pr.field_tau(fc, sigma_t, o, d, d_along)))
                 u_ev = rng()
                 surface = (u_ev <= tr_actual) & hit
                 # pSuccess = pdf * (1 - Tr) (vptShadeMethods.h:1093)
                 pdf_success = dist_pdf * jnp.maximum(1.0 - tr_actual, 1e-20)
-                t_xt = jnp.exp(-sigma_t * jnp.abs(d_along))
             else:
                 # CLAMPED equi-angular (equiAngularParams,
                 # volumetricBasicFunctions.h:180-207): foot point x0 clamped
@@ -458,11 +469,23 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                 xt = [x0[i] + sample_t * d[i] for i in range(3)]
                 dist_pdf = D / (jnp.maximum(jnp.abs(th_b - th_a), 1e-12)
                                 * (sample_t * sample_t + D * D))
-                tr_actual = jnp.where(hit, jnp.exp(-sigma_t * t), 0.0)
+                if fc is None:
+                    tr_actual = jnp.where(hit, jnp.exp(-sigma_t * t), 0.0)
+                    t_xt = jnp.exp(-sigma_t * jnp.abs(d_along))
+                else:
+                    # heterogeneous Bernoulli(Tr) + explicit T: the optical
+                    # depth is odd in t, so |tau| is the segment's depth
+                    # even when the EA transform samples behind the origin
+                    t_det = jnp.where(hit, t, 0.0)
+                    tr_actual = jnp.where(
+                        hit,
+                        jnp.exp(-pr.field_tau(fc, sigma_t, o, d, t_det)),
+                        0.0)
+                    t_xt = jnp.exp(-jnp.abs(
+                        pr.field_tau(fc, sigma_t, o, d, d_along)))
                 u_ev = rng()
                 surface = (u_ev <= tr_actual) & hit
                 pdf_success = dist_pdf * jnp.maximum(1.0 - tr_actual, 1e-20)
-                t_xt = jnp.exp(-sigma_t * jnp.abs(d_along))
 
             em_hit = surface & at["is_em"]
             credit = alive & em_hit & (depth == 0) if nee else alive & em_hit
@@ -532,6 +555,9 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                 # distance pdf serves both the throughput and the NEE scale
                 inv_pdf_s = 1.0 / pdf_success
                 w_med = (sc["sigma_s"] * inv_cp) * t_xt * inv_pdf_s
+                if fc is not None:
+                    # sigma_s(xt) = sigma_s * dens(xt)
+                    w_med = w_med * pr.field_density(fc, xt)
                 if nee:
                     ld_med = medium_nee(rng, d, xt, lc, lrad, lr, lid)
                     scale = w_med * n_em_f

@@ -41,10 +41,12 @@ class Medium:
     density: optional spatially-varying density field (media/density.py;
     ours — the reference medium is strictly homogeneous). None (default)
     is the homogeneous medium. When set, sigma_a(x)/sigma_s(x) =
-    sigma_a/sigma_s * density(x); supported by the free-flight engine
-    family and all three fused kernels (render, diff — incl. traced
-    fog_k via diff_field=True — and the geometric dual kernel); the
-    voxel-grid field is engine-only."""
+    sigma_a/sigma_s * density(x); supported by BOTH volume distance
+    families (free-flight and equi-angular — the EA transform is pure
+    geometry, only Tr/T/sigma_s(xt) swap to the field forms) in the
+    engine and in all three fused kernels (render, diff — incl. traced
+    fog_k via diff_field=True, free-flight-only — and the geometric dual
+    kernel); the voxel-grid field is engine-only."""
 
     sigma_a: jnp.ndarray
     sigma_s: jnp.ndarray
