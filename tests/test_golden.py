@@ -35,6 +35,9 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "data",
 
 @pytest.mark.slow
 @pytest.mark.golden
+@pytest.mark.skipif(not os.path.exists(GOLDEN),
+                    reason="golden ensemble not generated — "
+                           "tools/make_golden.py")
 def test_matches_reference_render_structure():
     g = np.load(GOLDEN)["ds16"]
     scene = vpt.cornell_vpt()

@@ -182,7 +182,14 @@ def test_fused_kernel_matches_engine_anisotropic():
     ref = np.clip(np.asarray(vpt.render(scene, CAM, cfg)), 0, 1)
     assert np.isclose(img.mean(), ref.mean(), rtol=0.1), (img.mean(),
                                                           ref.mean())
-    c = np.corrcoef(img.ravel(), ref.ravel())[0, 1]
+    # correlate 2x2-block means: forward-scattering fog is low-frequency,
+    # so per-pixel correlation at this spp is MC-noise-dominated (measured
+    # 0.47-0.55 across seeds — a coin flip against a 0.5 gate); block
+    # averaging quarters the noise variance while keeping the structure
+    # being tested
+    bi = img.reshape(H // 2, 2, W // 2, 2, 3).mean(axis=(1, 3))
+    br = ref.reshape(H // 2, 2, W // 2, 2, 3).mean(axis=(1, 3))
+    c = np.corrcoef(bi.ravel(), br.ravel())[0, 1]
     assert c > 0.5, c
 
 

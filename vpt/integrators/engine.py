@@ -260,8 +260,13 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
         surface_event = (u_event <= tr_actual) & hit
 
     # pSuccess = dist_pdf * (1 - Tr) (vptShadeMethods.h:977, 1093)
+    # outer floor: dist_pdf*(1-Tr) can underflow f32 when the medium is
+    # thin along the ray (Tr ~ 1) and the EA pdf is tiny; the reciprocal
+    # would make inf and a masked 0*inf NaN (kernels floor identically)
     pdf_success = (None if dist_pdf is None
-                   else dist_pdf * jnp.maximum(1.0 - tr_actual, 1e-20))
+                   else jnp.maximum(
+                       dist_pdf * jnp.maximum(1.0 - tr_actual, 1e-20),
+                       1e-30))
 
     # --- score accumulation (see sigma_score on IntegratorSpec) ----------
     if spec.sigma_score:

@@ -565,8 +565,8 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                         pr.dot3(lo_v, lo_v) - delta * delta, 1e-12))
                     th_a = pr.atan2_posx(-delta, Dq)
                     th_b = pr.atan2_posx(t_eff - delta, Dq)
-                    sample_t = Dq * pr.tan_sc(
-                        (1.0 - u_dist) * th_a + u_dist * th_b)
+                    sample_t = jnp.clip(Dq * pr.tan_sc(
+                        (1.0 - u_dist) * th_a + u_dist * th_b), -BIG, BIG)
                     d_along = sample_t + delta
                     xt = [o[i] + d_along * d[i] for i in range(3)]
                     dist_pdf = Dq / (jnp.maximum(jnp.abs(th_b - th_a), 1e-12)
@@ -586,7 +586,9 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                     u_ev = rng()
                     surface = (u_ev <= tr_act) & hit
                     one_m_tr = jnp.maximum(1.0 - tr_act, 1e-20)
-                    pdf_success = dist_pdf * one_m_tr
+                    # floored like the forward kernel (f32 underflow of
+                    # dist_pdf*(1-Tr) -> 1/0 -> masked 0*inf NaN)
+                    pdf_success = jnp.maximum(dist_pdf * one_m_tr, 1e-30)
                     t_xt = jnp.exp(-sigma_t * att_along)
                 medium = alive & ~surface
                 shade_pre = alive & surface

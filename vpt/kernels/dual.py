@@ -722,7 +722,13 @@ def field_tau(fc, sigma_t, o, d, t):
         m = k * d[1]
         const = jnp.abs(val(m)) < 1e-6
         safe_m = where(const, 1.0, m)
-        return sigma_t * where(const, d0 * t, (d0 - d_end) / safe_m)
+        base = where(const, d0 * t, (d0 - d_end) / safe_m)
+        # floor by |t| * min-endpoint-density (prims.field_tau guard:
+        # both exponents clipping at one rail collapses the difference
+        # form to 0 while density reports e^{80}); odd in t
+        lb = t * minimum(d0, d_end)
+        return sigma_t * where(val(t) >= 0.0, maximum(base, lb),
+                               minimum(base, lb))
     tau = None
     sqrt_half = _math.sqrt(0.5)
     sqrt_half_pi = _math.sqrt(0.5 * _math.pi)

@@ -442,8 +442,8 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
                     du.dot3(lo_v, lo_v) - delta * delta, 1e-12))
                 th_a = du.atan2_posx(-delta, Dq)
                 th_b = du.atan2_posx(t_eff - delta, Dq)
-                sample_t = Dq * du.tan_sc(
-                    th_a * (1.0 - u_dist) + th_b * u_dist)
+                sample_t = du.clip(Dq * du.tan_sc(
+                    th_a * (1.0 - u_dist) + th_b * u_dist), -BIG, BIG)
                 d_along = sample_t + delta
                 xt = [o[i] + d_along * d[i] for i in range(3)]
                 dist_pdf = Dq / (du.maximum(du.absd(th_b - th_a), 1e-12)
@@ -464,7 +464,8 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
                 u_ev = rng()
                 surface = (tr_act >= u_ev) & hit
                 one_m_tr = du.maximum(1.0 - tr_act, 1e-20)
-                pdf_success = dist_pdf * one_m_tr
+                # floored like the forward kernel (f32 underflow -> 0*inf)
+                pdf_success = du.maximum(dist_pdf * one_m_tr, 1e-30)
             medium = alive & ~surface
             shade_pre = alive & surface
 

@@ -626,7 +626,18 @@ def field_tau(fc, sigma_t, o, d, t):
         m = k * d[1]
         const = jnp.abs(m) < 1e-6
         safe_m = jnp.where(const, 1.0, m)
-        return sigma_t * jnp.where(const, d0 * t, (d0 - d_end) / safe_m)
+        base = jnp.where(const, d0 * t, (d0 - d_end) / safe_m)
+        # monotone lower bound |t| * min-endpoint-density: when BOTH
+        # exponents clip at the same +-80 rail (a lane deep below/above
+        # the fog plane) the difference form collapses to tau == 0 while
+        # field_density still reports e^{80} — tau/density inconsistency
+        # that turns w_med into e^{34}-scale throughput (NaN factory).
+        # Density is monotone in t along a straight ray, so the min
+        # endpoint bounds the segment from below; keep tau odd in t.
+        lb = t * jnp.minimum(d0, d_end)
+        tau = jnp.where(t >= 0.0, jnp.maximum(base, lb),
+                        jnp.minimum(base, lb))
+        return sigma_t * tau
     tau = None
     for (cx, cy, cz, r, w) in fc["params"]:
         oc = [cx - o[0], cy - o[1], cz - o[2]]

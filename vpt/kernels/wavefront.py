@@ -428,7 +428,12 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                 D = jnp.sqrt(jnp.maximum(pr.dot3(lo, lo) - delta * delta, 1e-12))
                 th_a = pr.atan2_posx(-delta, D)
                 th_b = pr.atan2_posx(t_eff - delta, D)
-                sample_t = D * pr.tan_sc((1.0 - u_dist) * th_a + u_dist * th_b)
+                # clamped: f32 tan can hit exactly inf (cos == 0); a
+                # heterogeneous tau at d_along = inf is inf*0 = NaN when
+                # d_y == 0 (homogeneous exp(-sigma*inf) = 0 hid those lanes)
+                sample_t = jnp.clip(
+                    D * pr.tan_sc((1.0 - u_dist) * th_a + u_dist * th_b),
+                    -BIG, BIG)
                 d_along = sample_t + delta
                 xt = [o[i] + d_along * d[i] for i in range(3)]
                 dist_pdf = D / (jnp.maximum(jnp.abs(th_b - th_a), 1e-12)
@@ -449,8 +454,13 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                         pr.field_tau(fc, sigma_t, o, d, d_along)))
                 u_ev = rng()
                 surface = (u_ev <= tr_actual) & hit
-                # pSuccess = pdf * (1 - Tr) (vptShadeMethods.h:1093)
-                pdf_success = dist_pdf * jnp.maximum(1.0 - tr_actual, 1e-20)
+                # pSuccess = pdf * (1 - Tr) (vptShadeMethods.h:1093);
+                # floored: dist_pdf*(1-Tr) can UNDERFLOW f32 when the
+                # medium is thin along the ray (Tr ~ 1) AND the EA pdf is
+                # tiny — the reciprocal then makes inf and a masked 0*inf
+                # NaN (hetero fog exposes it on chip)
+                pdf_success = jnp.maximum(
+                    dist_pdf * jnp.maximum(1.0 - tr_actual, 1e-20), 1e-30)
             else:
                 # CLAMPED equi-angular (equiAngularParams,
                 # volumetricBasicFunctions.h:180-207): foot point x0 clamped
@@ -464,7 +474,9 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                 D = jnp.sqrt(jnp.maximum(pr.dot3(x0c, x0c), 1e-12))
                 th_a = pr.atan2_posx(-delta, D)
                 th_b = pr.atan2_posx(t_eff - delta, D)
-                sample_t = D * pr.tan_sc((1.0 - u_dist) * th_a + u_dist * th_b)
+                sample_t = jnp.clip(
+                    D * pr.tan_sc((1.0 - u_dist) * th_a + u_dist * th_b),
+                    -BIG, BIG)                   # clamp: see params2 branch
                 d_along = delta + sample_t       # distance from o along d
                 xt = [x0[i] + sample_t * d[i] for i in range(3)]
                 dist_pdf = D / (jnp.maximum(jnp.abs(th_b - th_a), 1e-12)
@@ -485,7 +497,8 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                         pr.field_tau(fc, sigma_t, o, d, d_along)))
                 u_ev = rng()
                 surface = (u_ev <= tr_actual) & hit
-                pdf_success = dist_pdf * jnp.maximum(1.0 - tr_actual, 1e-20)
+                pdf_success = jnp.maximum(
+                    dist_pdf * jnp.maximum(1.0 - tr_actual, 1e-20), 1e-30)
 
             em_hit = surface & at["is_em"]
             credit = alive & em_hit & (depth == 0) if nee else alive & em_hit

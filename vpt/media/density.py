@@ -143,7 +143,12 @@ def density(field: DensityField, x: jnp.ndarray) -> jnp.ndarray:
     """d(x) for x (..., 3) -> (...)."""
     if field.kind == EXP_HEIGHT:
         k, y0 = field.params[0], field.params[1]
-        return jnp.exp(-k * (x[..., 1] - y0))
+        # exponent clipped to +-80 like optical_depth / kernels' prims
+        # .field_density: an EA sample placed tens of thousands of units
+        # below the fog plane (miss lanes) otherwise evaluates exp(+2000)
+        # = inf, and 0 * inf against its (consistently huge-tau) T == 0
+        # factor is NaN
+        return jnp.exp(jnp.clip(-k * (x[..., 1] - y0), -80.0, 80.0))
     if field.kind == BLOBS:
         c = field.params[:, :3]                       # (K, 3)
         r = field.params[:, 3]                        # (K,)
@@ -198,8 +203,15 @@ _SQRT_HALF_PI = math.sqrt(0.5 * math.pi)
 
 def optical_depth(field: DensityField, sigma_t, o, d, t):
     """tau = sigma_t * int_0^t d(o + s*dir) ds, closed form. `d` must be
-    unit-length; o (..., 3), t (...)."""
-    t = jnp.maximum(t, 0.0)
+    unit-length; o (..., 3), t (...).
+
+    ODD in t (all three closed forms are): a negative t means the segment
+    [o + t d, o] and tau comes out negative — callers evaluating EA samples
+    behind the ray origin take |tau| (engine.bounce_step t_xt). Do NOT
+    clamp t to 0 here: that made tau(t<0) == 0 while density(o + t d) can
+    be e^{80} deep below an exp_height fog plane, and the inconsistent
+    pair (T == 1, sigma_s(xt) astronomically large) blew up EA medium
+    weights into inf (NaN two bounces later)."""
     if field.kind == EXP_HEIGHT:
         k, y0 = field.params[0], field.params[1]
         # difference form tau = sigma_t (d(o) - d(o + t dir)) / m: the
@@ -215,7 +227,15 @@ def optical_depth(field: DensityField, sigma_t, o, d, t):
         m = k * d[..., 1]                             # decay rate along ray
         const = jnp.abs(m) < _M_EPS
         safe_m = jnp.where(const, 1.0, m)
-        return sigma_t * jnp.where(const, d0 * t, (d0 - d_end) / safe_m)
+        base = jnp.where(const, d0 * t, (d0 - d_end) / safe_m)
+        # floor the magnitude by |t| * min-endpoint-density (valid: density
+        # is monotone in t along a ray): when BOTH exponents clip at the
+        # same rail the difference form collapses to 0 while density(x)
+        # reports e^{80} — the inconsistency documented above (kernels/
+        # prims.field_tau has the identical guard); keeps tau odd in t
+        lb = t * jnp.minimum(d0, d_end)
+        return sigma_t * jnp.where(t >= 0.0, jnp.maximum(base, lb),
+                                   jnp.minimum(base, lb))
     if field.kind == BLOBS:
         c = field.params[:, :3]
         r = field.params[:, 3]

@@ -47,8 +47,14 @@ def pdf_failure(sigma_t, tmax):
 
 
 def equi_angular_sample(D, theta_a, theta_b, u):
-    """t = D tan((1-xi) thetaA + xi thetaB) (vptSamplingFunctions.h:54-57)."""
-    return D * jnp.tan((1.0 - u) * theta_a + u * theta_b)
+    """t = D tan((1-xi) thetaA + xi thetaB) (vptSamplingFunctions.h:54-57).
+
+    Clamped to +-1e8 (geometry.BIG): f32 tan can return exactly inf at a
+    cos == 0 draw, and a heterogeneous optical depth evaluated at t = inf
+    is inf*0 = NaN when the ray is horizontal (the homogeneous
+    exp(-sigma*inf) = 0 silently hid those lanes)."""
+    return jnp.clip(D * jnp.tan((1.0 - u) * theta_a + u * theta_b),
+                    -1e8, 1e8)
 
 
 def equi_angular_pdf(D, theta_a, theta_b, t):
