@@ -574,3 +574,88 @@ def test_engine_hetero_sigma_score_matches_kernel():
         tol = 4.0 * np.hypot(es, ks_) + 0.08 * max(abs(em), abs(km))
         assert np.isfinite([em, km]).all(), name
         assert abs(em - km) < tol, (name, em, es, km, ks_)
+
+
+# --------------------------------------------------------------------------
+# exp_height closed-form consistency (regression: the hetero-EA NaN)
+# --------------------------------------------------------------------------
+# Post-mortem (fixed in the same commit as these tests): three mutually
+# inconsistent exp_height evaluations — the difference form of tau
+# collapsing to 0 when BOTH endpoint exponents clip at one +-80 rail,
+# optical_depth clamping t < 0 to 0 while engine.bounce_step takes |tau|
+# of an odd function, and density() with no exponent clip (exp(+2000) =
+# inf). The signature failure: an EA sample tens of thousands of units
+# below the fog plane got T == 1 against a e^{34}-scale local sigma_s,
+# throughput went inf, masked 0 * inf turned NaN at the next bounce.
+
+
+def test_optical_depth_is_odd_in_t():
+    """tau(o, d, -t) == -tau(o, -d, t): integrating backward over the same
+    segment flips the sign. engine.bounce_step relies on this (|tau| for
+    EA samples behind the ray origin)."""
+    rs = np.random.default_rng(3)
+    for kind, fld in FIELDS.items():
+        o, d, t = _rand_rays(64, rs)
+        fwd = df.optical_depth(fld, 0.02, o, d, -t)
+        rev = df.optical_depth(fld, 0.02, o, -d, t)
+        np.testing.assert_allclose(np.asarray(fwd), -np.asarray(rev),
+                                   rtol=1e-4, atol=1e-9, err_msg=kind)
+
+
+def test_optical_depth_rail_clip_keeps_tau_density_consistent():
+    """Deep below the fog plane both endpoint exponents clip at +80; the
+    difference form then reads 0 while density(x) reads e^{80}. The
+    monotone lower bound |t| * min-endpoint-density must keep the pair
+    consistent: T == exp(-tau) == 0 wherever density is astronomically
+    large (and the clipped density itself must be finite)."""
+    fld = FIELDS["exp_height"]
+    k, y0 = float(fld.params[0]), float(fld.params[1])
+    o = jnp.asarray([[0.0, y0 - 5000.0, 0.0]])      # -k(y-y0) = 300 >> 80
+    d = jnp.asarray([[1.0, 0.0, 0.0]])              # horizontal: both clip
+    t = jnp.asarray([10.0])
+    dens = np.asarray(df.density(fld, o))
+    assert np.isfinite(dens).all() and dens[0] > 1e30   # clipped e^{80}
+    tau = np.asarray(df.optical_depth(fld, 0.02, o, d, t))
+    assert np.isfinite(tau).all() or np.isposinf(tau).all()
+    assert float(np.exp(-tau[0])) == 0.0
+    # odd-in-t rail case: same magnitude, opposite sign
+    tau_n = np.asarray(df.optical_depth(fld, 0.02, o, d, -t))
+    assert float(np.exp(-abs(tau_n[0]))) == 0.0 and tau_n[0] < 0
+
+
+def test_prims_field_tau_matches_engine_closed_form():
+    """kernels/prims.field_tau (the fused kernels' baked form) and
+    media/density.optical_depth are the same closed forms — including the
+    odd-in-t extension and the rail lower bound."""
+    from vpt.kernels import prims as pr
+
+    rs = np.random.default_rng(11)
+    fld = FIELDS["exp_height"]
+    fc = {"kind": "exp_height",
+          "params": (float(fld.params[0]), float(fld.params[1]))}
+    o, d, t = _rand_rays(64, rs)
+    for tt in (t, -t):
+        eng = np.asarray(df.optical_depth(fld, 0.02, o, d, tt))
+        ker = np.asarray(pr.field_tau(
+            fc, 0.02, [o[:, 0], o[:, 1], o[:, 2]],
+            [d[:, 0], d[:, 1], d[:, 2]], tt))
+        np.testing.assert_allclose(ker, eng, rtol=1e-4, atol=1e-9)
+    # rail case
+    y0 = fc["params"][1]
+    orail = [jnp.zeros(1), jnp.full(1, y0 - 5000.0), jnp.zeros(1)]
+    drail = [jnp.ones(1), jnp.zeros(1), jnp.zeros(1)]
+    tau = np.asarray(pr.field_tau(fc, 0.02, orail, drail, jnp.full(1, 10.0)))
+    assert float(np.exp(-tau[0])) == 0.0
+    dens = np.asarray(pr.field_density(fc, orail))
+    assert np.isfinite(dens).all()
+
+
+def test_engine_hetero_ea_deep_miss_lanes_finite():
+    """The exact failing configuration of the hetero-EA NaN (foggy_cornell,
+    explicit_equiangular, miss lanes diving far below the fog plane at
+    bounce >= 5): 96x72 at seed 0 — the repro is lane-position-keyed, so
+    the geometry must match. Was 1 NaN pixel before the consistency fix."""
+    cfg = vpt.RenderConfig(width=96, height=72, spp=2, max_bounces=8,
+                           integrator="explicit_equiangular", seed=0)
+    img = np.asarray(vpt.render(foggy_cornell(), vpt.default_camera(), cfg))
+    assert np.isfinite(img).all() and (img >= 0).all()
