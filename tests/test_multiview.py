@@ -1,0 +1,107 @@
+"""Multi-view inverse rendering (dist/train_fast.fit_multiview): V cameras
+observing one scene, the V diff-kernel A/B-MSE losses averaged per step.
+
+Contracts:
+  1. with one camera, identity parameterization and no weights, the
+     multi-view step is EXACTLY make_kernel_train_step (same renderer
+     config, same seed pairs: seed*2V + 2v degenerates to seed*2, +1);
+  2. the log_medium reparameterization round-trips and keeps the medium
+     block positive through arbitrary optimizer updates;
+  3. two views beat... no — that is a STUDY claim (BASELINE.md); the test
+     contract here is mechanical: a 2-view toy fit moves a mis-set
+     sigma_s toward truth with finite losses.
+"""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+import vpt
+from vpt.dist.train_fast import (fit_multiview, make_kernel_train_step,
+                                 make_multiview_train_step)
+from vpt.kernels.diff import pack_params
+from vpt.kernels.wavefront import build_tile_renderer
+from vpt.scene.camera import look_at
+from vpt.scene.scene import Medium
+
+SCENE = vpt.cornell_vpt()
+CAM = vpt.default_camera()
+CAM2 = look_at((35.0, 25.0, 190.0), (0.0, 0.0, -20.0))
+W, H, SPP = 16, 12, 4
+
+
+def test_single_view_step_is_kernel_step():
+    opt = optax.adam(1e-2)
+    params = pack_params(SCENE)
+    rng = np.random.default_rng(0)
+    target = jnp.asarray(rng.uniform(0, 0.2, (W * H, 3)), jnp.float32)
+
+    s1 = make_kernel_train_step(SCENE, CAM, W, H, SPP, opt, max_bounces=6,
+                                tile_rows=8, interpret=True)
+    sv = make_multiview_train_step(SCENE, [CAM], W, H, SPP, opt,
+                                   max_bounces=6, tile_rows=8,
+                                   interpret=True)
+    p1, st1, l1 = s1(params, opt.init(params), target, jnp.int32(5))
+    pv, stv, lv = sv(dict(params), opt.init(dict(params)),
+                     target[None], None, jnp.int32(5))
+    assert float(l1) == float(lv)
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(p1[k]), np.asarray(pv[k]))
+
+
+def test_log_medium_roundtrip_and_positivity():
+    opt = optax.sgd(5.0)      # violent steps: raw space would go negative
+    step = make_multiview_train_step(SCENE, [CAM], W, H, SPP, opt,
+                                     max_bounces=4, tile_rows=8,
+                                     log_medium=True, interpret=True)
+    params = pack_params(SCENE)
+    q = step.to_opt(params)
+    back = step.from_opt(q)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(back[k]),
+                                   np.asarray(params[k]), rtol=1e-6)
+    target = jnp.zeros((1, W * H, 3), jnp.float32)
+    for i in range(3):
+        q, _, loss = step(q, opt.init(q), target, None, jnp.int32(i))
+        assert np.isfinite(float(loss))
+    out = step.from_opt(q)
+    assert float(out["sigma_a"]) > 0 and float(out["sigma_s"]) > 0
+
+
+@pytest.mark.slow
+def test_two_view_toy_fit_moves_sigma_toward_truth():
+    true_scene = SCENE
+    cams = [CAM, CAM2]
+    targets = []
+    for i, c in enumerate(cams):
+        run = build_tile_renderer(true_scene, c, W, H, 64, max_bounces=6,
+                                  tile_rows=8, interpret=True)
+        targets.append(np.asarray(run(40 + i)).reshape(H, W, 3) / 64)
+
+    wrong = dataclasses.replace(
+        true_scene,
+        medium=Medium(true_scene.medium.sigma_a,
+                      jnp.asarray(5.0 * true_scene.medium.sigma_s)))
+    init = dict(pack_params(wrong))
+
+    def freeze_materials(p, p0):
+        out = dict(p)
+        for k in ("albedo", "radiance"):
+            out[k] = p0[k]
+        return out
+
+    params, losses = fit_multiview(
+        wrong, cams, targets, steps=12, spp=8, learning_rate=0.12,
+        max_bounces=6, interpret=True, param_filter=freeze_materials,
+        polyak_tail=3)
+    assert np.isfinite(losses).all()
+    truth = float(true_scene.medium.sigma_s)
+    d0 = abs(float(init["sigma_s"]) - truth)
+    d1 = abs(float(params["sigma_s"]) - truth)
+    assert d1 < 0.7 * d0, (d0, d1, losses[:3], losses[-3:])
+    # frozen by param_filter; the polyak tail average costs 1 ulp (f32
+    # sum-then-divide of identical values, e.g. 2.7/3 != 0.9)
+    np.testing.assert_allclose(np.asarray(params["albedo"]),
+                               np.asarray(init["albedo"]), rtol=1e-6)

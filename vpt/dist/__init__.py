@@ -8,9 +8,9 @@ from .mesh import DATA_AXIS, SAMPLE_AXIS, make_mesh, mesh_shape_for
 from .sharded import render_sharded
 from .train import (apply_params, fit, make_train_step, project_params,
                     scene_params)
-from .train_fast import (fit_geom, fit_geom_fd, fit_kernel,
+from .train_fast import (fit_geom, fit_geom_fd, fit_kernel, fit_multiview,
                          make_fd_geom_train_step, make_geom_train_step,
-                         make_kernel_train_step,
+                         make_kernel_train_step, make_multiview_train_step,
                          make_sharded_fd_geom_train_step,
                          make_sharded_kernel_train_step)
 
@@ -21,4 +21,5 @@ __all__ = [
     "make_kernel_train_step", "fit_kernel", "make_geom_train_step",
     "fit_geom", "make_fd_geom_train_step", "fit_geom_fd",
     "make_sharded_kernel_train_step", "make_sharded_fd_geom_train_step",
+    "make_multiview_train_step", "fit_multiview",
 ]

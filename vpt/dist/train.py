@@ -45,6 +45,10 @@ _DOMAIN = {
     # HG anisotropy: the score noise grows as |g| -> 1 and the HG inversion
     # degenerates at |g| == 1 (docs/INVERSE_RENDERING.md clips the same)
     "g": (-0.95, 0.95),
+    # exp_height falloff: fits assume ground fog decaying upward; the tiny
+    # floor keeps log-space reparameterizations (train_fast.fit_multiview
+    # log_medium) well-defined and costs nothing against real targets
+    "fog_k": (1e-6, None),
 }
 
 

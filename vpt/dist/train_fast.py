@@ -14,6 +14,7 @@ low-spp steps do not descend on estimator variance.
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 import optax
 
@@ -25,7 +26,8 @@ from .train import project_params
 __all__ = ["make_kernel_train_step", "fit_kernel", "make_geom_train_step",
            "fit_geom", "make_fd_geom_train_step", "fit_geom_fd",
            "make_sharded_kernel_train_step",
-           "make_sharded_fd_geom_train_step"]
+           "make_sharded_fd_geom_train_step",
+           "make_multiview_train_step", "fit_multiview"]
 
 
 def make_kernel_train_step(scene: Scene, camera, width: int, height: int,
@@ -420,6 +422,147 @@ def fit_geom(scene: Scene, camera, target, *, sphere: int | None,
                                 tile_rows=tile_rows, interpret=interpret)
     return _fit_loop(step, theta, optimizer, target, width, height, steps,
                      seed, param_filter, log_every)
+
+
+# log-reparameterized medium leaves (fit_multiview log_medium=True):
+# Adam's unit-scale steps become MULTIPLICATIVE for the positive medium
+# block — a 4e-3 step is x1.004 — which cannot blast a sigma ~ 1e-3 across
+# orders of magnitude into the vanishing-gradient thick-fog basin the raw
+# parameterization reaches in one early step (round-3 multi-view study)
+_LOG_LEAVES = ("sigma_a", "sigma_s", "fog_k")
+
+
+def _to_log(p):
+    q = dict(p)
+    for k in _LOG_LEAVES:
+        if k in q:
+            q[k] = jnp.log(jnp.maximum(q[k], 1e-8))
+    return q
+
+
+def _from_log(q):
+    p = dict(q)
+    for k in _LOG_LEAVES:
+        if k in p:
+            p[k] = jnp.exp(p[k])
+    return p
+
+
+def make_multiview_train_step(scene: Scene, cameras, width: int, height: int,
+                              spp: int,
+                              optimizer: optax.GradientTransformation, *,
+                              distance: str = "free", max_bounces: int = 32,
+                              tile_rows: int = 32, sampler: str = "random",
+                              diff_g: bool = False, diff_field: bool = False,
+                              log_medium: bool = False,
+                              interpret: bool = False):
+    """Joint medium/material fit over V cameras observing ONE scene.
+
+    Single-view fog estimation is weakly identifiable (similarity theory:
+    appearance constrains sigma_s(1-g) and the profile jointly —
+    BASELINE.md round-3 notes); extra views tighten it without any new
+    estimator machinery: V diff-kernel pairs (kernels/diff.py) share the
+    parameter pytree and their A/B-MSE losses average per step.
+
+    Returns step(qparams, opt_state, targets_flat, weights, seed) ->
+    (qparams, opt_state, loss) with:
+      * qparams — the pytree in OPTIMIZER space (identity by default;
+        log-space medium block when log_medium=True). step.to_opt /
+        step.from_opt convert; fit_multiview handles this for you.
+      * targets_flat — (V, width*height, 3) stacked per-view targets.
+      * weights — None, or (V, npix, 1) fixed per-pixel loss weights.
+        Weights must NOT depend on the renders: E[w (A-t)(B-t)] =
+        w (E-t)^2 holds only for fixed w (relMSE weights from the TARGET
+        keep direct-emitter pixels from dominating — fit_multiview).
+      * per-view decorrelated seed pairs (seed*2V + 2v, +1).
+    """
+    renders = [
+        make_diff_renderer(scene, c, width, height, max(spp // 2, 1),
+                           distance=distance, max_bounces=max_bounces,
+                           tile_rows=tile_rows, sampler=sampler,
+                           diff_g=diff_g, diff_field=diff_field,
+                           interpret=interpret)
+        for c in cameras
+    ]
+    V = len(renders)
+    to_opt = _to_log if log_medium else (lambda p: dict(p))
+    from_opt = _from_log if log_medium else (lambda q: dict(q))
+
+    @jax.jit
+    def step(qp, opt_state, targets_flat, weights, seed):
+        def loss_fn(q):
+            p = from_opt(q)
+            tot = 0.0
+            for v, render in enumerate(renders):
+                a = render(p, seed * (2 * V) + 2 * v)
+                b = render(p, seed * (2 * V) + 2 * v + 1)
+                e = (a - targets_flat[v]) * (b - targets_flat[v])
+                if weights is not None:
+                    e = e * weights[v]
+                tot = tot + jnp.mean(e)
+            return tot / V
+
+        loss, grads = jax.value_and_grad(loss_fn)(qp)
+        updates, opt_state = optimizer.update(grads, opt_state, qp)
+        qp = optax.apply_updates(qp, updates)
+        # project in RAW space (log leaves are positive by construction,
+        # but albedo/radiance/g still need their physical domain)
+        qp = to_opt(project_params(from_opt(qp)))
+        return qp, opt_state, loss
+
+    step.to_opt = to_opt
+    step.from_opt = from_opt
+    return step
+
+
+def fit_multiview(scene: Scene, cameras, targets, *, steps: int = 200,
+                  spp: int = 16, learning_rate=6e-3, distance: str = "free",
+                  max_bounces: int = 32, sampler: str = "random",
+                  seed: int = 0, diff_g: bool = False,
+                  diff_field: bool = False, log_medium: bool = True,
+                  relmse_weights: bool = True, relmse_eps: float = 0.05,
+                  polyak_tail: int = 0, interpret: bool = False,
+                  param_filter=None, log_every: int = 0):
+    """Recover the medium/material pytree from V target views (one per
+    camera). Defaults carry the round-3 multi-view study's lessons:
+    log-space medium block and target-relMSE pixel weights (both
+    documented in make_multiview_train_step). polyak_tail > 0 averages
+    the last N iterates (tail averaging beats the last noisy iterate on
+    MC losses). Returns (params, losses)."""
+    if len(cameras) != len(targets):
+        raise ValueError("one target image per camera")
+    height, width = np.asarray(targets[0]).shape[:2]
+    optimizer = optax.adam(learning_rate)
+    params = pack_params(scene, with_g=diff_g, with_field=diff_field)
+    step = make_multiview_train_step(
+        scene, cameras, width, height, spp, optimizer, distance=distance,
+        max_bounces=max_bounces, sampler=sampler, diff_g=diff_g,
+        diff_field=diff_field, log_medium=log_medium, interpret=interpret)
+    targets_flat = jnp.stack([
+        jnp.asarray(t, jnp.float32).reshape(width * height, 3)
+        for t in targets
+    ])
+    weights = ((1.0 / (jnp.mean(targets_flat, axis=-1, keepdims=True)
+                       + relmse_eps) ** 2)
+               if relmse_weights else None)
+    init = dict(params)
+    qp = step.to_opt(params)
+    opt_state = optimizer.init(qp)
+    losses, tail = [], []
+    for i in range(steps):
+        qp, opt_state, loss = step(qp, opt_state, targets_flat, weights,
+                                   jnp.int32(seed + i))
+        if param_filter is not None:
+            qp = step.to_opt(param_filter(step.from_opt(qp), init))
+        losses.append(float(loss))
+        if polyak_tail and i >= steps - polyak_tail:
+            tail.append(step.from_opt(qp))
+        if log_every and i % log_every == 0:
+            print(f"step {i:4d}  loss {losses[-1]:.6g}")
+    out = step.from_opt(qp)
+    if tail:
+        out = jax.tree.map(lambda *xs: sum(xs) / len(xs), *tail)
+    return out, losses
 
 
 def fit_kernel(scene: Scene, camera, target, *, steps: int = 100,
