@@ -6,6 +6,7 @@ shard_map + XLA collectives over ICI).
 """
 from .mesh import DATA_AXIS, SAMPLE_AXIS, make_mesh, mesh_shape_for
 from .sharded import render_sharded
+from .tomography import fit_grid, make_grid_train_step
 from .train import (apply_params, fit, make_train_step, project_params,
                     scene_params)
 from .train_fast import (fit_geom, fit_geom_fd, fit_kernel, fit_multiview,
@@ -22,4 +23,5 @@ __all__ = [
     "fit_geom", "make_fd_geom_train_step", "fit_geom_fd",
     "make_sharded_kernel_train_step", "make_sharded_fd_geom_train_step",
     "make_multiview_train_step", "fit_multiview",
+    "make_grid_train_step", "fit_grid",
 ]
