@@ -180,8 +180,15 @@ def test_fused_kernel_matches_engine_anisotropic():
                            integrator="explicit_free", max_bounces=12,
                            chunk_pixels=W * H, renderer="scan")
     ref = np.clip(np.asarray(vpt.render(scene, CAM, cfg)), 0, 1)
-    assert np.isclose(img.mean(), ref.mean(), rtol=0.1), (img.mean(),
-                                                          ref.mean())
+    # variance-scaled mean gate (r3 flake fix): both images estimate the
+    # same transport solution, so their DIFFERENCE is pure MC noise and
+    # its own spread calibrates the tolerance — 6 standard errors plus a
+    # small absolute floor, instead of a fixed rtol that sat ~1 sigma
+    # from the measured run-to-run spread
+    diff = img - ref
+    se = diff.std() / np.sqrt(diff.size)
+    assert abs(diff.mean()) < 6.0 * se + 0.01, (
+        img.mean(), ref.mean(), se)
     # correlate 2x2-block means: forward-scattering fog is low-frequency,
     # so per-pixel correlation at this spp is MC-noise-dominated (measured
     # 0.47-0.55 across seeds — a coin flip against a 0.5 gate); block

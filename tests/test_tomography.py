@@ -1,0 +1,177 @@
+"""Tests for the public tomography trainer (vpt.dist.fit_grid /
+make_grid_train_step) — the multi-view voxel reconstruction API.
+
+Coverage the grid-FIELD tests (test_hetero.py) don't give: the trainer
+itself — its A/B-MSE loss wiring, optimizer step, majorant projection,
+and that the voxel gradient at a wrong init actually points toward the
+truth (the signal the whole fit rides on). The fast test uses a 4^3 grid;
+the statistical direction/convergence tests replicate the round-3 probe
+study's configuration (8^3, 3 views, relMSE weights — measured
+cos(-grad, truth-init) ~ 0.5 there) and are marked slow.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from vpt.dist.tomography import fit_grid, make_grid_train_step
+from vpt.integrators import engine
+from vpt.media import density as df
+from vpt.scene import camera as cam_mod
+from vpt.scene.scene import Medium, blob_cloud
+
+W, H = 16, 12
+
+
+def _grid_scene(values, majorant, n):
+    base = blob_cloud()
+    # grid volume around the blob cloud's bounding region (tomo geometry
+    # fixed a priori, as in examples/recover_grid.py)
+    xs = np.linspace(-28, 28, n)
+    ys = np.linspace(-18, 24, n)
+    zs = np.linspace(150, 195, n)
+    sp = (xs[1] - xs[0], ys[1] - ys[0], zs[1] - zs[0])
+    org = (xs[0] - sp[0] / 2, ys[0] - sp[1] / 2, zs[0] - sp[2] / 2)
+    f = df.DensityField(params=jnp.asarray(values, jnp.float32), kind="grid",
+                        majorant=majorant, grid_origin=org, grid_spacing=sp,
+                        n_march=16)
+    return dataclasses.replace(
+        base, medium=Medium(base.medium.sigma_a, base.medium.sigma_s, 0.0, f))
+
+
+def _truth_values(n):
+    base = blob_cloud()
+    xs = np.linspace(-28, 28, n)
+    ys = np.linspace(-18, 24, n)
+    zs = np.linspace(150, 195, n)
+    gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
+    pts = jnp.asarray(np.stack([gx, gy, gz], -1))
+    return np.asarray(df.density(base.medium.density, pts), np.float32)
+
+
+def _render(scene, camera, key, spp):
+    spec = engine.IntegratorSpec(max_bounces=4)
+    ids = jnp.arange(W * H, dtype=jnp.int32)
+
+    def one(acc, s):
+        ks = jax.random.fold_in(key, s)
+        o, d = cam_mod.rays_for_pixels(camera, W, H, ids, ks, True)
+        return acc + engine.trace(scene, spec, o, d, ks), None
+
+    acc, _ = jax.lax.scan(one, jnp.zeros((W * H, 3)), jnp.arange(spp))
+    return np.asarray(acc / spp).reshape(H, W, 3)
+
+
+def _cams(v):
+    return [cam_mod.default_camera(),
+            cam_mod.look_at((150, 30, 170), (0, 0, 170)),
+            cam_mod.look_at((-140, -20, 175), (0, 0, 170))][:v]
+
+
+def test_grid_train_step_runs_and_projects():
+    n = 4
+    truth = _truth_values(n)
+    maj = float(truth.max()) * 1.3
+    cams = _cams(2)
+    targets = [_render(_grid_scene(truth, maj, n), c,
+                       jax.random.PRNGKey(7 + i), spp=4)
+               for i, c in enumerate(cams)]
+    init = np.full((n, n, n), 0.3, np.float32)
+    scene = _grid_scene(init, maj, n)
+    opt = optax.adam(5e-2)
+    step = make_grid_train_step(scene, cams, W, H, spp=1, optimizer=opt,
+                                max_bounces=4)
+    tf = jnp.stack([jnp.asarray(t, jnp.float32).reshape(W * H, 3)
+                    for t in targets])
+    values = jnp.asarray(init)
+    opt_state = opt.init(values)
+    for i in range(3):
+        values, opt_state, loss = step(values, opt_state, tf, None,
+                                       jax.random.PRNGKey(i))
+        assert np.isfinite(float(loss))
+    v = np.asarray(values)
+    assert np.isfinite(v).all()
+    # majorant projection: every iterate stays in [0, majorant]
+    assert v.min() >= 0.0 and v.max() <= maj / 1.001 + 1e-6
+
+
+@pytest.fixture(scope="module")
+def tomo8():
+    """Round-3 probe configuration: 8^3 grid, 3 views, spp-8 targets."""
+    n = 8
+    truth = _truth_values(n)
+    maj = float(truth.max()) * 1.3
+    cams = _cams(3)
+    targets = [_render(_grid_scene(truth, maj, n), c,
+                       jax.random.PRNGKey(100 + i), spp=8)
+               for i, c in enumerate(cams)]
+    return n, truth, maj, cams, targets
+
+
+@pytest.mark.slow
+def test_grid_gradient_at_init_points_toward_truth(tomo8):
+    """The voxel gradient of the trainer's loss at a flat (wrong) init
+    must correlate with (init - truth): descending it moves toward the
+    true field (the ADVICE-prescribed sanity check; the round-3 probe
+    measured cos(-grad, d) ~ 0.5 in this configuration)."""
+    n, truth, maj, cams, targets = tomo8
+    init = np.full((n, n, n), 0.3, np.float32)
+    spec = engine.IntegratorSpec(max_bounces=4, sigma_score=True)
+    ids = jnp.arange(W * H, dtype=jnp.int32)
+    tf = jnp.stack([jnp.asarray(t, jnp.float32).reshape(W * H, 3)
+                    for t in targets])
+    # fixed target-relMSE weights (the trainer's default: keeps emitter
+    # pixels from dominating; must not depend on the renders)
+    wts = 1.0 / (jnp.mean(tf, axis=-1, keepdims=True) + 0.05) ** 2
+
+    def render(v, camera, key, spp):
+        sc = _grid_scene(v, maj, n)
+
+        def one(acc, s):
+            ks = jax.random.fold_in(key, s)
+            o, d = cam_mod.rays_for_pixels(camera, W, H, ids, ks, True)
+            return acc + engine.trace(sc, spec, o, d, ks,
+                                      differentiable=True), None
+
+        acc, _ = jax.lax.scan(one, jnp.zeros((W * H, 3)), jnp.arange(spp))
+        return acc / spp
+
+    @jax.jit
+    def grad_fn(v, key):
+        def loss_fn(v):
+            tot = 0.0
+            for i, c in enumerate(cams):
+                ka, kb = jax.random.split(jax.random.fold_in(key, i))
+                a = render(v, c, ka, 4)
+                b = render(v, c, kb, 4)
+                tot = tot + jnp.mean((a - tf[i]) * (b - tf[i]) * wts[i])
+            return tot / len(cams)
+
+        return jax.grad(loss_fn)(v)
+
+    g = np.zeros_like(init)
+    K = 4
+    for k in range(K):
+        g += np.asarray(grad_fn(jnp.asarray(init),
+                                jax.random.PRNGKey(500 + k))) / K
+    d = truth - init
+    cos = float((g * d).sum() / (np.linalg.norm(g) * np.linalg.norm(d)
+                                 + 1e-12))
+    # -grad must point toward truth
+    assert cos < -0.15, f"grad does not descend toward truth: cos={cos:.3f}"
+
+
+@pytest.mark.slow
+def test_fit_grid_reduces_distance_to_truth(tomo8):
+    n, truth, maj, cams, targets = tomo8
+    init = np.full((n, n, n), 0.3, np.float32)
+    scene = _grid_scene(init, maj, n)
+    values, losses = fit_grid(scene, cams, targets, steps=10, spp=2,
+                              learning_rate=5e-2, max_bounces=4, seed=3)
+    assert len(losses) == 10 and np.isfinite(losses).all()
+    d0 = float(np.linalg.norm(init - truth))
+    d1 = float(np.linalg.norm(np.asarray(values) - truth))
+    assert d1 < d0, f"fit_grid moved away from truth: {d0:.4f} -> {d1:.4f}"

@@ -12,9 +12,13 @@ the one access pattern the VPU tiles can't do — Mosaic's
 round 3), so this trains through `engine.trace` with
 `IntegratorSpec(sigma_score=True)`: sampled distances/events are detached
 and re-weighted by their accumulated log-densities, which makes the voxel
-gradients unbiased under plain `jax.grad` (the trilinear pathwise terms
-plus the delta-tracking event scores; cross-validated against the
-diff-kernel estimator in tests/test_hetero.py).
+gradients unbiased under plain `jax.grad` UP TO the grid's marched-
+quadrature transmittance — the grid field has no closed-form optical
+depth, so tau is midpoint-rule marching with O((t/n_march)^2) bias
+(media/density.py GRID branch), unlike exp_height/blobs where the closed
+forms make the estimator exact. Event probabilities and trilinear
+pathwise terms are exact; cross-validated against the diff-kernel
+estimator in tests/test_hetero.py.
 
 Estimator notes (shared with `dist.train_fast.make_multiview_train_step`):
   * A/B-MSE — two independent renders per view, loss mean((A-t)(B-t)):
