@@ -240,12 +240,37 @@ def test_ld_deterministic_and_unbiased_vs_random(render_ld, render):
 # three contracts as the homogeneous pair (module docstring), plus the
 # material-3 shell scene through the shared pLight cascade.
 
-from vpt.scene.scene import blob_cloud, foggy_cornell, medium_shell
+from vpt.scene.scene import Medium, blob_cloud, foggy_cornell, medium_shell
+
+
+def grid_cloud():
+    """blob_cloud rasterized onto an 8^3 voxel grid (round 4: grids run in
+    the diff pair — chunked lane-gather trilinear, canonical pc march)."""
+    import dataclasses
+
+    from vpt.media import density as df
+
+    base = blob_cloud()
+    n = 8
+    xs = np.linspace(-40, 40, n)
+    zs = np.linspace(130, 220, n)
+    gx, gy, gz = np.meshgrid(xs, xs, zs, indexing="ij")
+    pts = jnp.asarray(np.stack([gx, gy, gz], -1))
+    vals = np.asarray(df.density(base.medium.density, pts))
+    sx, sz = 80 / (n - 1), 90 / (n - 1)
+    f = dataclasses.replace(
+        df.grid(vals, origin=(-40 - sx / 2, -40 - sx / 2, 130 - sz / 2),
+                spacing=(sx, sx, sz)), n_march=8)
+    return dataclasses.replace(
+        base, medium=Medium(base.medium.sigma_a, base.medium.sigma_s, 0.0,
+                            f))
 
 
 @pytest.mark.parametrize("make_scene,distance", [
     (foggy_cornell, "free"), (blob_cloud, "free"), (medium_shell, "free"),
     (foggy_cornell, "equiangular"),     # round 3: hetero EA family
+    (grid_cloud, "free"),               # round 4: voxel grids
+    (grid_cloud, "equiangular"),
 ])
 def test_diff_hetero_fwd_matches_baked_kernel(make_scene, distance):
     """Contract 1 for the heterogeneous fields (exp_height analytic
@@ -302,6 +327,7 @@ def test_hetero_albedo_radiance_grads_exact_per_seed(render_fog, leaf,
     (foggy_cornell, 2e-3, "free"),
     (blob_cloud, 2e-3, "free"),
     (foggy_cornell, 2e-3, "equiangular"),   # round 3: hetero EA scores
+    (grid_cloud, 2e-3, "free"),             # round 4: grid scores
 ])
 def test_hetero_sigma_grads_match_crn_fd(make_scene, h, distance):
     """Contract 3 for heterogeneous media: E[d mean(img) / d sigma] from the

@@ -402,7 +402,10 @@ def test_grid_density_matches_rasterized_blobs():
 
 
 def test_grid_optical_depth_matches_quadrature():
-    g = _blob_grid(48)
+    """The canonical pc-model tau converges to the true line integral of
+    the trilinear field as n_march resolves the voxel scale (the grid
+    spans ~140 units of t_far, so n_march=192 marches at ~sub-voxel h)."""
+    g = dataclasses.replace(_blob_grid(48), n_march=192)
     rs = np.random.RandomState(9)
     o, d, t = _rand_rays(32, rs)
     sigma_t = 0.05
@@ -412,11 +415,30 @@ def test_grid_optical_depth_matches_quadrature():
     x = np.asarray(o)[None] + s[..., None] * np.asarray(d)[None]
     dens = np.asarray(df.density(g, jnp.asarray(x)))
     ref = sigma_t * np.trapezoid(dens, s, axis=0)
-    # n_march=32 midpoint rule on a trilinear field: O((t/M)^2) bias
     np.testing.assert_allclose(tau, ref, rtol=0.03, atol=5e-3)
 
 
+def test_grid_tau_linear_within_canonical_segments():
+    """tau(t) must be exactly linear in t inside one canonical segment
+    (the property the closed-form sampling inversion relies on)."""
+    g = _blob_grid(16)
+    o = jnp.asarray([[0.0, -20.0, 0.0]])
+    d = jnp.asarray([[0.0, 1.0, 0.0]])
+    t0w, taw, _tbw = (float(v[0]) for v in df._grid_window(g, o, d))
+    m1, _ = df._grid_m_split(g.n_march)
+    h = (taw - t0w) / m1
+    ta, tb = t0w + 3.2 * h, t0w + 3.9 * h    # both inside segment 3
+    tm = 0.5 * (ta + tb)
+    taus = [float(df.optical_depth(g, 0.07, o, d, jnp.asarray([t]))[0])
+            for t in (ta, tm, tb)]
+    np.testing.assert_allclose(taus[1], 0.5 * (taus[0] + taus[2]),
+                               rtol=1e-5)
+
+
 def test_grid_distance_sampling_survival_law():
+    """P(d > T) == exp(-tau(T)) for the SAME canonical tau every weight
+    uses — exact self-consistency of the pc inversion (up to MC error) —
+    and approximately the analytic oracle the grid rasterizes."""
     g = _blob_grid(48)
     sigma_t = 0.08
     n = 40000
@@ -424,16 +446,21 @@ def test_grid_distance_sampling_survival_law():
     dvec = jnp.asarray([0.3, 0.9, 0.2])
     dvec = dvec / jnp.linalg.norm(dvec)
     d = jnp.broadcast_to(dvec, (n, 3))
+    u = jax.random.uniform(jax.random.PRNGKey(4), (n,))
     d_s = np.asarray(df.sample_distance(
-        g, sigma_t, o, d, jnp.zeros((n,)), jax.random.PRNGKey(4),
+        g, sigma_t, o, d, u, jax.random.PRNGKey(4),
         jnp.full((n,), 1e7, jnp.float32)))
     for T in (5.0, 15.0, 40.0):
         emp = float((d_s > T).mean())
-        # analytic-oracle tau (the grid approximates the blobs field)
+        tau_self = float(df.optical_depth(
+            g, sigma_t, o[:1], d[:1], jnp.asarray([T]))[0])
+        assert abs(emp - math.exp(-tau_self)) < 0.01, (T, emp, tau_self)
+        # analytic-oracle tau (the grid approximates the blobs field):
+        # pc-model bias at n_march=32 over ~165 units of t_far is visible
+        # but bounded
         tau = float(df.optical_depth(
             FIELDS["blobs"], sigma_t, o[:1], d[:1], jnp.asarray([T]))[0])
-        want = math.exp(-tau)
-        assert abs(emp - want) < 0.01, (T, emp, want)
+        assert abs(emp - math.exp(-tau)) < 0.05, (T, emp, tau)
 
 
 @pytest.mark.slow
@@ -502,14 +529,44 @@ def test_grid_scene_io_round_trip(tmp_path):
                                np.asarray(gfield.params), rtol=1e-6)
 
 
-def test_grid_rejected_by_fused_kernel():
+def test_grid_fused_kernel_matches_engine():
+    """Round 4: voxel grids RUN in the fused kernel (chunked lane-gather
+    trilinear + the canonical pc march shared with media/density.py).
+    Kernel and engine estimate the same transport solution — their means
+    agree within MC error (variance-scaled gate, the test_hg idiom)."""
+    base = blob_cloud()
+    scene = dataclasses.replace(
+        base, medium=Medium(base.medium.sigma_a, base.medium.sigma_s, 0.0,
+                            dataclasses.replace(_blob_grid(8), n_march=8)))
+    W, H, spp = 16, 8, 24
+    run = build_tile_renderer(scene, vpt.default_camera(), W, H, spp,
+                              nee=True, max_bounces=8, tile_rows=8,
+                              interpret=True)
+    img = np.asarray(run(11)).reshape(H, W, 3)
+    assert np.isfinite(img).all() and (img >= 0).all()
+    assert img.max() > 0.0
+    cfg = vpt.RenderConfig(width=W, height=H, spp=spp,
+                           integrator="explicit_free", max_bounces=8,
+                           chunk_pixels=W * H, renderer="scan")
+    ref = np.asarray(vpt.render(scene, vpt.default_camera(), cfg,
+                                key=jax.random.PRNGKey(3)))
+    diff = np.clip(img, 0, 1) - np.clip(ref, 0, 1)
+    se = diff.std() / np.sqrt(diff.size)
+    assert abs(diff.mean()) < 6.0 * se + 0.01, (img.mean(), ref.mean(), se)
+
+
+def test_grid_rejected_by_geom_dual_kernel():
+    """Grids run in the forward kernel and the diff pair (round 4); the
+    geometric dual kernel still refuses loudly (use CRN FD there)."""
+    from vpt.kernels.geom import make_geom_renderer
+
     base = blob_cloud()
     scene = dataclasses.replace(
         base, medium=Medium(base.medium.sigma_a, base.medium.sigma_s, 0.0,
                             _blob_grid(8)))
     with pytest.raises(NotImplementedError):
-        build_tile_renderer(scene, vpt.default_camera(), 16, 8, 2,
-                            nee=True, interpret=True)
+        make_geom_renderer(scene, vpt.default_camera(), 16, 8, 2,
+                           sphere=8, interpret=True)
 
 
 @pytest.mark.slow

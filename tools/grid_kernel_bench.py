@@ -1,0 +1,90 @@
+"""Voxel-grid fused-kernel throughput on the real chip (round 4).
+
+Rasterizes blob_cloud's analytic field onto n^3 grids and measures the
+fused Pallas forward kernel (kernels/wavefront.py grid path: chunked
+lane-gather trilinear + canonical pc march) at the bench protocol
+(1024x1024 @ 64 spp, sampler="ld", BENCH_CHAIN=4 chained launches), vs the
+same scene with the analytic blobs field (delta tracking) as the
+cost-of-grids reference point.
+
+Usage: python tools/grid_kernel_bench.py [--quick]
+"""
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+    import vpt
+    from vpt.media import density as df
+    from vpt.scene.scene import Medium, blob_cloud
+    from vpt.kernels.wavefront import build_tile_renderer
+
+    quick = "--quick" in sys.argv
+    W = H = 512 if quick else 1024
+    spp = 16 if quick else 64
+    chain = 2 if quick else 4
+    n_paths = W * H * spp
+
+    base = blob_cloud()
+    camera = vpt.default_camera()
+
+    def rasterize(n):
+        xs = np.linspace(-40, 40, n)
+        zs = np.linspace(130, 220, n)
+        gx, gy, gz = np.meshgrid(xs, xs, zs, indexing="ij")
+        pts = jnp.asarray(np.stack([gx, gy, gz], -1))
+        vals = np.asarray(df.density(base.medium.density, pts))
+        sx, sz = 80 / (n - 1), 90 / (n - 1)
+        return df.grid(vals, origin=(-40 - sx / 2, -40 - sx / 2,
+                                     130 - sz / 2),
+                       spacing=(sx, sx, sz))
+
+    def grid_scene(n, n_march):
+        f = dataclasses.replace(rasterize(n), n_march=n_march)
+        return dataclasses.replace(
+            base, medium=Medium(base.medium.sigma_a, base.medium.sigma_s,
+                                0.0, f))
+
+    def measure(scene, label):
+        run = build_tile_renderer(scene, camera, W, H, spp, nee=True,
+                                  max_bounces=32, sampler="ld")
+
+        @jax.jit
+        def reduced(s):
+            acc = jnp.zeros((3,), jnp.float32)
+            for k in range(chain):
+                acc = acc + jnp.mean(run(s + k), axis=0)
+            return acc / chain
+
+        out = np.asarray(reduced(jnp.int32(1)))   # compile + sanity
+        assert np.isfinite(out).all(), (label, out)
+        best = 1e9
+        for i in range(3):
+            t0 = time.time()
+            np.asarray(reduced(jnp.int32(2 + i)))
+            best = min(best, time.time() - t0)
+        rate = chain * n_paths / best
+        print(json.dumps({"case": label, "paths_per_sec": rate,
+                          "mean_rgb": [float(v) for v in out],
+                          "t_chain": best}))
+        return rate
+
+    measure(base, "blobs_analytic_delta_tracking")
+    for n, m in ((16, 8), (16, 16), (16, 32), (32, 16), (32, 32)):
+        measure(grid_scene(n, m), f"grid_n{n}_march{m}")
+
+
+if __name__ == "__main__":
+    main()

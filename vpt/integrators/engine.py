@@ -295,9 +295,19 @@ def bounce_step(scene: Scene, spec: IntegratorSpec, bounce, key, st: PathState,
                                              t_det)
                 tau_med = den.optical_depth(field, sigma_t, st.o, st.d,
                                             d_gate)
-                x_med = jax.lax.stop_gradient(
-                    st.o + d_gate[:, None] * st.d)
-                dens_med = jnp.maximum(den.density(field, x_med), 1e-30)
+                if field.kind == den.GRID:
+                    # the sampling pdf's density is the canonical pc
+                    # model's own (den.grid_pc_density) — the trilinear
+                    # point value would disagree with the law the distance
+                    # was actually drawn from (round-4 tomography fix)
+                    dens_med = jnp.maximum(
+                        den.grid_pc_density(field, st.o, st.d, d_gate),
+                        1e-30)
+                else:
+                    x_med = jax.lax.stop_gradient(
+                        st.o + d_gate[:, None] * st.d)
+                    dens_med = jnp.maximum(den.density(field, x_med),
+                                           1e-30)
                 s_add = jnp.where(
                     surface_event, -tau_surf,
                     jnp.log(sigma_t) + jnp.log(dens_med) - tau_med)

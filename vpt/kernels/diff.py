@@ -64,7 +64,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..scene.scene import LAMBERT, MICROFACET, Scene
 from . import prims as pr
 from .prims import BIG, INV_4PI
-from .wavefront import _scene_consts
+from .wavefront import _scene_consts, grid_table
 
 __all__ = ["make_diff_renderer", "pack_params", "unpack_params"]
 
@@ -178,6 +178,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
         raise ValueError(f"unknown sampler {sampler!r}")
     sc = _scene_consts(scene)
     fc = sc["field"]        # heterogeneous density (None = homogeneous)
+    grid_mode = fc is not None and fc["kind"] == "grid"
     if diff_field and distance != "free":
         raise NotImplementedError(
             "diff_field (traced fog_k) is free-flight-only: the EA family's"
@@ -238,6 +239,8 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
         grads=True -> replay + gradient vector. Identical RNG draws."""
 
         def kernel(params_ref, seed_ref, base_ref, *outs):
+            if grid_mode:
+                tab_ref, outs = outs[0], outs[1:]
             if grads:
                 (gbar_r, gbar_g, gbar_b, out_g) = outs
             else:
@@ -255,6 +258,12 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 # the baked python const for the traced scalar reuses the
                 # exact forward formulas (prims.field_*)
                 fck = dict(fc, params=(params_ref[IK], fc["params"][1]))
+            elif grid_mode:
+                # voxel grid: bind the loaded VMEM table (values baked as
+                # an operand; sigma/albedo/radiance stay traced — the
+                # sigma scores are unchanged in form because the pc
+                # density is sigma-independent)
+                fck = dict(fc, tab=tab_ref[...])
             else:
                 fck = fc
             sigma_t = sa + ss
@@ -367,7 +376,8 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                     if fc is None:
                         att = normcx
                     else:
-                        att = pr.field_tau(fck, 1.0, xs, wc, normcx)
+                        att = pr.field_tau(fck, 1.0, xs, wc, normcx,
+                                           nonneg=True)
                     tr = jnp.exp(-sigma_t * att)
                     w_vis = jnp.where(visible,
                                       tr * pr.dot3(n, wi) * fpdf_inv, 0.0)
@@ -491,7 +501,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                     att = t
                     datt_k = None
                 else:
-                    att = pr.field_tau(fck, 1.0, xt, wl, t)
+                    att = pr.field_tau(fck, 1.0, xt, wl, t, nonneg=True)
                     datt_k = (pr.field_tau_dk(fck, xt, wl, t)
                               if (grads and diff_field) else None)
                 # phase / cone_pdf = phase * 2pi * (1 - cos_max): no div
@@ -541,6 +551,16 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                     if fc is None:
                         d_s = -jnp.log1p(-u_dist) * inv_st
                         surface = (d_s > t_eff) & hit
+                    elif grid_mode:
+                        # voxel grid (same uniform as the forward kernel):
+                        # ONE canonical march yields d_s AND tau(t_eff);
+                        # the score optical paths come free — I(d_s) ==
+                        # tau*/sigma_t EXACTLY (the march inverts the same
+                        # pc tau), I(t_eff) == tau_cap/sigma_t
+                        d_s, tau_cap = pr.grid_sample_free_and_tau(
+                            fck, sigma_t, o, d, u_dist, t_eff)
+                        surface = (d_s > t_eff) & hit
+                        alive = alive & ((d_s < 0.5 * BIG) | surface)
                     else:
                         # heterogeneous free flight (same draws as the
                         # forward kernel): analytic CDF inversion
@@ -579,9 +599,10 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                         att_along = jnp.abs(d_along)
                     else:
                         t_det0 = jnp.where(hit, t, 0.0)
-                        att_t = pr.field_tau(fc, 1.0, o, d, t_det0)
+                        att_t = pr.field_tau(fck, 1.0, o, d, t_det0,
+                                             nonneg=True)
                         att_along = jnp.abs(
-                            pr.field_tau(fc, 1.0, o, d, d_along))
+                            pr.field_tau(fck, 1.0, o, d, d_along))
                     tr_act = jnp.where(hit, jnp.exp(-sigma_t * att_t), 0.0)
                     u_ev = rng()
                     surface = (u_ev <= tr_act) & hit
@@ -601,6 +622,16 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                             k_sc = jnp.where(
                                 shade_pre, -t_eff,
                                 jnp.where(medium, inv_st - d_s, 0.0))
+                        elif grid_mode:
+                            # p(d) = sigma_t rho_pc(d) e^{-sigma_t I(d)}:
+                            # rho_pc is sigma-independent, so dlog/dsigma =
+                            # 1/sigma_t - I(d) | -I(t) with both optical
+                            # paths already in hand from the sampling march
+                            I_surf = tau_cap * inv_st
+                            I_med = -jnp.log1p(-u_dist) * inv_st
+                            k_sc = jnp.where(
+                                shade_pre, -I_surf,
+                                jnp.where(medium, inv_st - I_med, 0.0))
                         else:
                             # p(d) = sigma_t*dens(x_d)*e^{-sigma_t I(d)},
                             # P(surf) = e^{-sigma_t I(t)} with I = int dens:
@@ -670,7 +701,8 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                     else:
                         inv_dl = 1.0 / jnp.maximum(dist_ls, 1e-20)
                         wlight = [(lc[i] - xs[i]) * inv_dl for i in range(3)]
-                        att_pl = pr.field_tau(fck, 1.0, xs, wlight, dist_ls)
+                        att_pl = pr.field_tau(fck, 1.0, xs, wlight,
+                                              dist_ls, nonneg=True)
                     trs = jnp.exp(-sigma_t * att_pl)
                     ldm, misp = mis_v2(rng, at, xs, nrm, d)
                     for i in range(3):
@@ -749,7 +781,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                     if fc is not None:
                         # sigma_s(xt) = sigma_s * dens(xt); dens is
                         # sigma-independent so med_dsig is unchanged in form
-                        med_scale = med_scale * pr.field_density(fc, xt)
+                        med_scale = med_scale * pr.field_density(fck, xt)
                     med_dsig = -att_along - att_t * tr_act / one_m_tr
                 if nee:
                     ld_med, w_med, att_nee, dlogp_nee, datt_k = medium_nee(
@@ -941,6 +973,13 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
         return kernel
 
     interp = pltpu.InterpretParams() if interpret else False
+    tab_host = (grid_table(scene.medium.density.params) if grid_mode
+                else None)
+    # grid table rides as one extra VMEM input on every call (empty lists
+    # keep the non-grid call signatures unchanged)
+    tab_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] if grid_mode
+                 else [])
+    tab_args = (tab_host,) if grid_mode else ()
 
     fwd_kernel = make_kernel(grads=False)
     bwd_kernel = make_kernel(grads=True)
@@ -956,7 +995,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-            ],
+            ] + tab_specs,
             out_specs=[
                 pl.BlockSpec((R, 128), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -967,7 +1006,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 for _ in range(3)
             ],
             interpret=interp,
-        )(pvec, seeds, base)
+        )(pvec, seeds, base, *tab_args)
         flat = jnp.stack([o.reshape(-1) for o in outs], axis=-1)
         return flat[:npix] / spp
 
@@ -985,7 +1024,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-            ] + [
+            ] + tab_specs + [
                 pl.BlockSpec((R, 128), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
                 for _ in range(3)
@@ -994,7 +1033,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((num_tiles * 8, 128), jnp.float32),
             interpret=interp,
-        )(pvec, seeds, base, *planes)
+        )(pvec, seeds, base, *tab_args, *planes)
         return out.reshape(num_tiles, 8, 128)[:, 0, :].sum(axis=0)[:P]
 
     def _check_g_leaf(params):
@@ -1045,7 +1084,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                     pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pltpu.SMEM),
-                ],
+                ] + tab_specs,
                 out_specs=[
                     pl.BlockSpec((R, 128), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
@@ -1057,7 +1096,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 ],
                 interpret=interp,
             )(pvec, jnp.reshape(seed, (1,)).astype(jnp.int32),
-              jnp.reshape(base_pixel, (1,)).astype(jnp.int32))
+              jnp.reshape(base_pixel, (1,)).astype(jnp.int32), *tab_args)
             return jnp.stack([o.reshape(-1) for o in outs], axis=-1) / spp
 
         def bwd_shard(pvec, seed, base_pixel, gbar):
@@ -1069,7 +1108,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                     pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pltpu.SMEM),
-                ] + [
+                ] + tab_specs + [
                     pl.BlockSpec((R, 128), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
                     for _ in range(3)
@@ -1080,7 +1119,8 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                                                jnp.float32),
                 interpret=interp,
             )(pvec, jnp.reshape(seed, (1,)).astype(jnp.int32),
-              jnp.reshape(base_pixel, (1,)).astype(jnp.int32), *planes)
+              jnp.reshape(base_pixel, (1,)).astype(jnp.int32), *tab_args,
+              *planes)
             return out.reshape(n_tiles, 8, 128)[:, 0, :].sum(axis=0)[:P]
 
         @jax.custom_vjp

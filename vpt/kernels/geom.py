@@ -128,6 +128,13 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
     fc = sc["field"]        # heterogeneous density (None = homogeneous;
     # both distance families take fields — the EA transform is pure
     # geometry, only Tr/T/sigma_s(xt) swap to the dual field forms)
+    if fc is not None and fc["kind"] == "grid":
+        raise NotImplementedError(
+            "voxel-grid fields: the geometric dual kernel would need dual "
+            "trilinear gathers + a dual canonical march; grids run in the "
+            "forward kernel (wavefront.py) and the diff pair (diff.py) — "
+            "use CRN finite differences (dist.train_fast.fit_geom_fd) or "
+            "the engine's AD for geometry gradients in grid media")
     S = len(sc["r"])
     cp = float(continue_prob)
     q = 1.0 - cp

@@ -604,6 +604,8 @@ def field_density(fc, x):
     if fc["kind"] == "exp_height":
         k, y0 = fc["params"]
         return jnp.exp(jnp.clip(-k * (x[1] - y0), -80.0, 80.0))
+    if fc["kind"] == "grid":
+        return grid_density(fc, x)
     dens = None
     for (cx, cy, cz, r, w) in fc["params"]:
         dx = [x[0] - cx, x[1] - cy, x[2] - cz]
@@ -612,13 +614,233 @@ def field_density(fc, x):
     return dens
 
 
+# --- voxel-grid field (round 4): chunked lane-gather trilinear ------------
+# The grid's flat values live in a (C, 128) VMEM table (fc["tab"], a value
+# loaded from a kernel operand — baked python consts would bloat the kernel
+# and freeze the one thing tomography trains). A per-lane lookup decomposes
+# the flat index into (chunk, lane) and runs Mosaic's within-vreg lane
+# gather (take_along_axis axis=1) against each broadcast 128-entry chunk,
+# selected by chunk id — measured 1.3G lookups/s / 780M trilinear/s (16^3)
+# on one v5e (tools/grid_gather_study.py). Transport uses the SAME
+# canonical piecewise-constant ray model as media/density.py round 4
+# (march [0, t_far] in n_march segments + exact constant tail), so
+# kernel/engine parity is by construction and the sampling inversion is
+# exact for the same tau every weight uses.
+
+def grid_lookup(tab, idx):
+    """tab: (C, 128) f32 value; idx: int32 lanes (flat, in [0, T))."""
+    C = tab.shape[0]
+    hi = jax.lax.shift_right_logical(idx, jnp.int32(7))
+    lo = jnp.bitwise_and(idx, jnp.int32(127))
+    r = jnp.zeros(idx.shape, jnp.float32)
+    for j in range(C):
+        row = tab[j, :].reshape(1, 128)
+        g = jnp.take_along_axis(jnp.broadcast_to(row, idx.shape), lo, axis=1)
+        r = jnp.where(hi == j, g, r)
+    return r
+
+
+def grid_cell(fc, x):
+    """Clamped trilinear cell of x: (base flat index, fx, fy, fz)."""
+    nx, ny, nz = fc["dims"]
+    ox, oy, oz = fc["origin"]
+    sx, sy, sz = fc["spacing"]
+    ux = jnp.clip((x[0] - ox) * (1.0 / sx) - 0.5, 0.0, nx - 1.0)
+    uy = jnp.clip((x[1] - oy) * (1.0 / sy) - 0.5, 0.0, ny - 1.0)
+    uz = jnp.clip((x[2] - oz) * (1.0 / sz) - 0.5, 0.0, nz - 1.0)
+    ix = jnp.minimum(ux.astype(jnp.int32), nx - 2)
+    iy = jnp.minimum(uy.astype(jnp.int32), ny - 2)
+    iz = jnp.minimum(uz.astype(jnp.int32), nz - 2)
+    fx = jnp.clip(ux - ix.astype(jnp.float32), 0.0, 1.0)
+    fy = jnp.clip(uy - iy.astype(jnp.float32), 0.0, 1.0)
+    fz = jnp.clip(uz - iz.astype(jnp.float32), 0.0, 1.0)
+    base = (ix * ny + iy) * nz + iz
+    return base, fx, fy, fz
+
+
+def grid_density(fc, x):
+    """Trilinear clamp-to-edge density (media/density.py GRID branch)."""
+    nz = fc["dims"][2]
+    snx = fc["dims"][1] * nz
+    base, fx, fy, fz = grid_cell(fc, x)
+    tab = fc["tab"]
+    c000 = grid_lookup(tab, base)
+    c001 = grid_lookup(tab, base + 1)
+    c010 = grid_lookup(tab, base + nz)
+    c011 = grid_lookup(tab, base + nz + 1)
+    c100 = grid_lookup(tab, base + snx)
+    c101 = grid_lookup(tab, base + snx + 1)
+    c110 = grid_lookup(tab, base + snx + nz)
+    c111 = grid_lookup(tab, base + snx + nz + 1)
+    c00 = c000 + (c001 - c000) * fz
+    c01 = c010 + (c011 - c010) * fz
+    c10 = c100 + (c101 - c100) * fz
+    c11 = c110 + (c111 - c110) * fz
+    c0 = c00 + (c01 - c00) * fy
+    c1 = c10 + (c11 - c10) * fy
+    return c0 + (c1 - c0) * fx
+
+
+def grid_window(fc, o, d):
+    """media/density._grid_window, baked consts: (t0, t1) — constant head
+    before the slab entry t0, M marched segments to the railing distance
+    t1 (window capped at march_extent diagonals, fc["cap"]), constant
+    tail beyond."""
+    t_rail = jnp.zeros_like(o[0])
+    t_enter = jnp.full_like(o[0], -BIG)
+    t_exit = jnp.full_like(o[0], BIG)
+    for i in range(3):
+        lo_r, hi_r = fc["rails"][i]
+        di = d[i]
+        oi = o[i]
+        moving = jnp.abs(di) > 1e-12
+        inv = 1.0 / jnp.where(moving, di, 1.0)
+        rail = jnp.where(di > 0.0, hi_r, lo_r)
+        t_rail = jnp.maximum(t_rail,
+                             jnp.where(moving, (rail - oi) * inv, 0.0))
+        ta = (lo_r - oi) * inv
+        tb = (hi_r - oi) * inv
+        inside = (oi >= lo_r) & (oi <= hi_r)
+        near = jnp.where(moving, jnp.minimum(ta, tb),
+                         jnp.where(inside, -BIG, BIG))
+        far = jnp.where(moving, jnp.maximum(ta, tb),
+                        jnp.where(inside, BIG, -BIG))
+        t_enter = jnp.maximum(t_enter, near)
+        t_exit = jnp.minimum(t_exit, far)
+    cap = fc["cap"]
+    box_hit = (t_enter <= t_exit) & (t_exit > 0.0)
+    t0 = jnp.where(box_hit, jnp.maximum(t_enter, 0.0), 0.0)
+    # two-region march (media/density._grid_window): region A resolves
+    # the box crossing, region B the boundary-slide stretch to railing
+    ta = jnp.where(box_hit,
+                   jnp.minimum(jnp.minimum(t_exit, t_rail), t0 + cap),
+                   jnp.minimum(t_rail, cap) * 0.75)
+    ta = jnp.maximum(ta, t0 + 1e-6)
+    tb = jnp.minimum(t_rail, ta + cap)
+    tb = jnp.maximum(tb, ta + 1e-6)
+    return t0, ta, tb
+
+
+def grid_m_split(M: int):
+    m2 = max(1, M // 4)
+    return M - m2, m2
+
+
+def _grid_seg(fc, t0, ta, tb, i):
+    """(seg0, width) of canonical segment i (i a traced scalar)."""
+    M1, _ = grid_m_split(fc["n_march"])
+    M1f = float(M1)
+    M2f = float(fc["n_march"] - M1)
+    h1 = (ta - t0) * (1.0 / M1f)
+    h2 = (tb - ta) * (1.0 / M2f)
+    i_f = i.astype(jnp.float32)
+    in_a = i < M1
+    seg0 = jnp.where(in_a, t0 + i_f * h1, ta + (i_f - M1f) * h2)
+    return seg0, jnp.where(in_a, h1, h2), h2
+
+
+def grid_tau_nonneg(fc, sigma_t, o, d, t):
+    """Canonical-model optical depth for t >= 0 (fori over n_march
+    segments; the trilinear chunk loop is unrolled inside the body)."""
+    M = fc["n_march"]
+    t0, ta, tb = grid_window(fc, o, d)
+
+    def body(i, acc):
+        seg0, w, _ = _grid_seg(fc, t0, ta, tb, i)
+        rho = grid_density(fc, [o[j] + (seg0 + 0.5 * w) * d[j]
+                                for j in range(3)])
+        return acc + rho * jnp.clip(t - seg0, 0.0, w)
+
+    acc = jax.lax.fori_loop(0, M, body, jnp.zeros_like(o[0]))
+    h2 = (tb - ta) * (1.0 / float(M - grid_m_split(M)[0]))
+    rho_head = grid_density(fc, [o[j] + 0.5 * t0 * d[j] for j in range(3)])
+    d_inf = grid_density(fc, [o[j] + (tb + h2) * d[j] for j in range(3)])
+    return sigma_t * (rho_head * jnp.minimum(t, t0) + acc
+                      + d_inf * jnp.maximum(t - tb, 0.0))
+
+
+def grid_pc_density(fc, o, d, t):
+    """The pc model's own density at ray parameter t >= 0 (the exact
+    sampling-pdf density; media/density.grid_pc_density)."""
+    M = fc["n_march"]
+    M1, M2 = grid_m_split(M)
+    t0, ta, tb = grid_window(fc, o, d)
+    h1 = (ta - t0) * (1.0 / M1)
+    h2 = (tb - ta) * (1.0 / M2)
+    kA = jnp.clip(jnp.floor((t - t0) / h1), 0.0, M1 - 1.0)
+    kB = jnp.clip(jnp.floor((t - ta) / h2), 0.0, M2 - 1.0)
+    t_mid = jnp.where(t < ta, t0 + (kA + 0.5) * h1, ta + (kB + 0.5) * h2)
+    t_s = jnp.where(t < t0, 0.5 * t0, jnp.where(t > tb, tb + h2, t_mid))
+    return grid_density(fc, [o[j] + t_s * d[j] for j in range(3)])
+
+
+def grid_tau(fc, sigma_t, o, d, t, nonneg=False):
+    """Signed canonical tau: tau(t<0) = -tau_reverse(-t) (equi-angular
+    samples behind the origin). nonneg=True skips the reverse march."""
+    pos = grid_tau_nonneg(fc, sigma_t, o, d, jnp.maximum(t, 0.0))
+    if nonneg:
+        return pos
+    neg = grid_tau_nonneg(fc, sigma_t, o, [-d[0], -d[1], -d[2]],
+                          jnp.maximum(-t, 0.0))
+    return jnp.where(t >= 0.0, pos, -neg)
+
+
+def grid_sample_free_and_tau(fc, sigma_t, o, d, u, t_cap):
+    """ONE canonical march yields BOTH the free-flight distance (exact
+    closed-form inversion of the pc tau — deterministic in u, replayable)
+    AND tau(t_cap) for the surface transmittance (media/density.
+    _sample_grid_march + _grid_tau_nonneg fused; the free-flight bounce
+    needs both every iteration). Returns (d_s, tau_at_t_cap); d_s == BIG
+    when the flight escapes (tail density ~ 0)."""
+    M = fc["n_march"]
+    t0, ta, tb = grid_window(fc, o, d)
+    tau_star = -jnp.log1p(-u)
+    # constant head [0, t0] (slab approach): closed form
+    rho_head = grid_density(fc, [o[j] + 0.5 * t0 * d[j] for j in range(3)])
+    tau_head = sigma_t * rho_head * t0
+
+    def body(i, carry):
+        cum, tau_cap, d_found = carry
+        seg0, w, _ = _grid_seg(fc, t0, ta, tb, i)
+        rho = grid_density(fc, [o[j] + (seg0 + 0.5 * w) * d[j]
+                                for j in range(3)])
+        dtau = sigma_t * rho * w
+        tau_cap = tau_cap + rho * jnp.clip(t_cap - seg0, 0.0, w)
+        cross = (d_found < 0.0) & (cum + dtau > tau_star)
+        d_i = seg0 + (tau_star - cum) / jnp.maximum(sigma_t * rho, 1e-30)
+        d_found = jnp.where(cross, d_i, d_found)
+        return cum + dtau, tau_cap, d_found
+
+    z = jnp.zeros_like(o[0])
+    cum, tau_cap, d_found = jax.lax.fori_loop(
+        0, M, body, (tau_head, z, z - 1.0))
+    h2 = (tb - ta) * (1.0 / float(M - grid_m_split(M)[0]))
+    in_head = tau_star < tau_head
+    d_head = jnp.minimum(
+        tau_star / jnp.maximum(sigma_t * rho_head, 1e-30), t0)
+    d_inf = grid_density(fc, [o[j] + (tb + h2) * d[j] for j in range(3)])
+    rate = sigma_t * d_inf
+    d_tail = tb + (tau_star - cum) / jnp.maximum(rate, 1e-30)
+    d_nf = jnp.where(rate > 1e-20, jnp.minimum(d_tail, BIG), BIG)
+    d_s = jnp.where(in_head, d_head,
+                    jnp.where(d_found >= 0.0, d_found, d_nf))
+    tau_at_cap = sigma_t * (rho_head * jnp.minimum(t_cap, t0) + tau_cap
+                            + d_inf * jnp.maximum(t_cap - tb, 0.0))
+    return d_s, tau_at_cap
+
+
 _SQRT_HALF = math.sqrt(0.5)
 _SQRT_HALF_PI = math.sqrt(0.5 * math.pi)
 
 
-def field_tau(fc, sigma_t, o, d, t):
-    """Closed-form optical depth sigma_t * int_0^t density along unit d
-    (media/density.optical_depth, python-const field params)."""
+def field_tau(fc, sigma_t, o, d, t, nonneg=False):
+    """Optical depth sigma_t * int_0^t density along unit d
+    (media/density.optical_depth, python-const field params): closed form
+    for the analytic fields, canonical pc march for grids. nonneg=True
+    (free-flight call sites: every t >= 0) skips the grid's reverse march
+    for behind-the-origin equi-angular samples."""
+    if fc["kind"] == "grid":
+        return grid_tau(fc, sigma_t, o, d, t, nonneg=nonneg)
     if fc["kind"] == "exp_height":
         k, y0 = fc["params"]
         d0 = jnp.exp(jnp.clip(-k * (o[1] - y0), -80.0, 80.0))
@@ -677,7 +899,8 @@ def field_tau_dk(fc, o, d, t):
 def field_tr_toward(fc, sigma_t, x, target_dir, dist):
     """exp(-tau) from x along unit target_dir for dist — the heterogeneous
     replacement for exp(-sigma_t * dist) in NEE/MIS factors."""
-    return jnp.exp(-field_tau(fc, sigma_t, x, target_dir, dist))
+    return jnp.exp(-field_tau(fc, sigma_t, x, target_dir, dist,
+                              nonneg=True))
 
 
 def field_sample_free(fc, sigma_t, o, d, u, rng, t_cap):
@@ -685,7 +908,13 @@ def field_sample_free(fc, sigma_t, o, d, u, rng, t_cap):
     baked): closed-form CDF inversion for exp_height (uses the single
     uniform u); delta (Woodcock) tracking for blobs (consumes 2 PCG draws
     per null step from `rng`, a static fc["max_null"]-step fori with the
-    stream threaded through the carry so all lanes stay lockstep)."""
+    stream threaded through the carry so all lanes stay lockstep); exact
+    pc-tau inversion for grids (grid_sample_free_and_tau — callers on the
+    free-flight hot path should use the fused variant directly to share
+    the march with the surface transmittance)."""
+    if fc["kind"] == "grid":
+        d_s, _ = grid_sample_free_and_tau(fc, sigma_t, o, d, u, t_cap)
+        return d_s
     if fc["kind"] == "exp_height":
         k, y0 = fc["params"]
         d0 = jnp.exp(jnp.clip(-k * (o[1] - y0), -80.0, 80.0))

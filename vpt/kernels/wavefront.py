@@ -98,13 +98,30 @@ def _scene_consts(scene: Scene):
     fld = scene.medium.density
     if fld is None:
         s["field"] = None
+    elif fld.kind == "grid":
+        # round 4: grids run in the fused kernels. Geometry/quadrature
+        # params bake as consts; the VALUES become a padded (C, 128) VMEM
+        # operand (fc["tab"], bound inside the kernel) looked up by
+        # chunked lane-gathers — see prims.py grid_* and
+        # tools/grid_gather_study.py for the measured strategy choice
+        from vpt.media import density as _den
+        nx, ny, nz = fld.params.shape
+        lo, hi = _den._grid_rails(fld)
+        diag = float(np.sqrt(sum(
+            (n * sp) ** 2 for n, sp in zip((nx, ny, nz),
+                                           fld.grid_spacing))))
+        s["field"] = {
+            "kind": "grid",
+            "dims": (int(nx), int(ny), int(nz)),
+            "origin": tuple(float(v) for v in fld.grid_origin),
+            "spacing": tuple(float(v) for v in fld.grid_spacing),
+            "rails": tuple((float(lo[i]), float(hi[i])) for i in range(3)),
+            "cap": float(fld.march_extent) * diag,
+            "n_march": int(fld.n_march),
+            "majorant": float(fld.majorant),
+            "tab": None,        # bound to the loaded VMEM table in-kernel
+        }
     else:
-        if fld.kind == "grid":
-            raise NotImplementedError(
-                "voxel-grid density is engine-only (per-lane gathers are "
-                "the one access pattern the VPU tiles can't do); render "
-                "with renderer='scan'/'persistent', or use the analytic "
-                "exp_height/blobs fields for the fused kernel")
         p = np.asarray(fld.params, np.float64)
         if fld.kind == "exp_height":
             params = (float(p[0]), float(p[1]))
@@ -115,6 +132,15 @@ def _scene_consts(scene: Scene):
                       "majorant": float(fld.majorant),
                       "max_null": int(fld.max_null)}
     return s
+
+
+def grid_table(params) -> jnp.ndarray:
+    """Pad the grid's flat values into the (C, 128) f32 lookup table the
+    kernels gather from (prims.grid_lookup)."""
+    flat = jnp.ravel(jnp.asarray(params, jnp.float32))
+    T = flat.shape[0]
+    C = -(-T // 128)
+    return jnp.pad(flat, (0, C * 128 - T)).reshape(C, 128)
 
 
 def build_tile_renderer(scene: Scene, camera, width: int, height: int,
@@ -179,9 +205,23 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
     n_em = len(emitters)
     mis_lights = sc["mis_lights"]
     max_iters = spp * max_bounces + 64
+    grid_mode = fc is not None and fc["kind"] == "grid"
+    tab_host = (grid_table(scene.medium.density.params) if grid_mode
+                else None)
+    sc_base, fc_base = sc, fc
 
     # ---------------- the kernel ----------------------------------------
-    def kernel(seed_ref, base_ref, out_r, out_g, out_b):
+    def kernel(seed_ref, base_ref, *refs):
+        # every inner closure resolves `sc`/`fc` to THESE kernel-local
+        # bindings: in grid mode they carry the loaded VMEM table
+        if grid_mode:
+            tab_ref, out_r, out_g, out_b = refs
+            fc = dict(fc_base, tab=tab_ref[...])
+            sc = dict(sc_base, field=fc)
+        else:
+            out_r, out_g, out_b = refs
+            fc = fc_base
+            sc = sc_base
         pid = pl.program_id(0)
         if scatter:
             # scatter mode: base_ref holds one base pixel PER program —
@@ -402,6 +442,14 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                 if fc is None:
                     d_s = -jnp.log1p(-u_dist) * (1.0 / sigma_t)
                     tr_actual = jnp.where(hit, jnp.exp(-sigma_t * t), 0.0)
+                elif fc["kind"] == "grid":
+                    # voxel grid: ONE canonical march yields the sampled
+                    # distance (exact pc-tau inversion) AND tau(t_eff)
+                    # for the surface transmittance (prims.
+                    # grid_sample_free_and_tau)
+                    d_s, tau_cap = pr.grid_sample_free_and_tau(
+                        fc, sigma_t, o, d, u_dist, t_eff)
+                    tr_actual = jnp.where(hit, jnp.exp(-tau_cap), 0.0)
                 else:
                     # heterogeneous free flight: analytic CDF inversion
                     # (exp_height) or in-kernel delta tracking (blobs);
@@ -448,7 +496,8 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                     t_det = jnp.where(hit, t, 0.0)
                     tr_actual = jnp.where(
                         hit,
-                        jnp.exp(-pr.field_tau(fc, sigma_t, o, d, t_det)),
+                        jnp.exp(-pr.field_tau(fc, sigma_t, o, d, t_det,
+                                              nonneg=True)),
                         0.0)
                     t_xt = jnp.exp(-jnp.abs(
                         pr.field_tau(fc, sigma_t, o, d, d_along)))
@@ -491,7 +540,8 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                     t_det = jnp.where(hit, t, 0.0)
                     tr_actual = jnp.where(
                         hit,
-                        jnp.exp(-pr.field_tau(fc, sigma_t, o, d, t_det)),
+                        jnp.exp(-pr.field_tau(fc, sigma_t, o, d, t_det,
+                                              nonneg=True)),
                         0.0)
                     t_xt = jnp.exp(-jnp.abs(
                         pr.field_tau(fc, sigma_t, o, d, d_along)))
@@ -634,13 +684,20 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
     num_tiles = -(-npix // LANES)
 
     def _call(seeds, base, n_tiles):
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        ins = [seeds, base]
+        if grid_mode:
+            # the grid table rides along full (every program reads all of
+            # it); ~C*512 bytes of VMEM (16^3 -> 16KB)
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            ins.append(tab_host)
         outs = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((R, 128), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -651,7 +708,7 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                 for _ in range(3)
             ],
             interpret=(pltpu.InterpretParams() if interpret else False),
-        )(seeds, base)
+        )(*ins)
         return jnp.stack([o.reshape(-1) for o in outs], axis=-1)
 
     @jax.jit

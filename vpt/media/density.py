@@ -97,6 +97,11 @@ class DensityField:
     # has no closed form; constant-step marching is the reference's own
     # transmittance idiom, rayMarchingMethods.h)
     n_march: int = dataclasses.field(default=32, metadata=dict(static=True))
+    # cap on the modeled variation window, in grid diagonals (see
+    # _grid_t_far): beyond march_extent * diag the density is treated as
+    # constant along the ray even if a slow coordinate has not railed yet
+    march_extent: float = dataclasses.field(default=4.0,
+                                            metadata=dict(static=True))
 
 
 def exp_height(k: float, y0: float, majorant: float,
@@ -122,9 +127,12 @@ def grid(values, origin, spacing, majorant: float | None = None,
     values: (nx, ny, nz) densities at voxel CENTERS, trilinearly
     interpolated, clamp-to-edge outside; origin: world min corner;
     spacing: per-axis voxel size. Differentiable w.r.t. `values`
-    (inverse volume reconstruction). Engine-only: the fused kernels
-    reject grids (per-lane gathers are the one access pattern the VPU
-    tiles can't do; the analytic fields exist for the kernel path)."""
+    (inverse volume reconstruction). Transport uses the canonical
+    piecewise-constant ray model (n_march segments over [0, t_far] +
+    exact constant tail — see optical_depth/_sample_grid_march): optical
+    depth and distance sampling derive from the SAME tau, in the engine
+    and in the fused Pallas kernels (round 4: chunked lane-gather
+    trilinear lookups, tools/grid_gather_study.py)."""
     import numpy as np
 
     v = jnp.asarray(values, dtype)
@@ -251,18 +259,159 @@ def optical_depth(field: DensityField, sigma_t, o, d, t):
         lo = erf_poly(a * (inv_r * _SQRT_HALF))
         return sigma_t * jnp.sum(w * amp * (hi + lo), axis=-1)
     if field.kind == GRID:
-        # no closed form: midpoint-rule marching (the reference's own
-        # transmittance idiom, rayMarchingMethods.h constant-step family).
-        # Bias O((t/M)^2); M = field.n_march. Long segments (NEE across
-        # the scene) dominate the cost: M density gathers per call.
-        M = field.n_march
-        tc = jnp.minimum(t, 1e6)        # escaped-lane BIG would waste range
-        s = (jnp.arange(M, dtype=tc.dtype) + 0.5) / M   # (M,)
-        pts = o[None] + (s.reshape((M,) + (1,) * tc.ndim) * tc)[..., None] \
-            * d[None]
-        dens = density(field, pts)                      # (M, ...)
-        return sigma_t * tc / M * jnp.sum(dens, axis=0)
+        # canonical piecewise-constant ray model (round 4): march the FIXED
+        # segmentation [0, t_far] in M midpoint segments (t_far = where
+        # clamp-to-edge freezes every coordinate, so density is exactly
+        # constant beyond) and add the closed-form constant tail. tau(t) is
+        # then linear-in-t inside each canonical segment — ONE density
+        # model per ray, shared exactly with sample_distance's inversion
+        # (the sampling pdf sigma_t rho(t) e^{-tau(t)} and every
+        # transmittance weight derive from the same tau: the estimator is
+        # self-consistent, with only the O((t_far/M)^2) field-approximation
+        # bias of the pc model itself). Replaces the round-3
+        # midpoint-over-[0, min(t, 1e6)] rule whose segmentation changed
+        # with the query t. Negative t (equi-angular samples behind the
+        # origin) integrates the reversed ray's own canonical model —
+        # keeps tau odd-ish (exactly: tau(t<0) = -tau_rev(-t)).
+        pos = _grid_tau_nonneg(field, sigma_t, o, d, jnp.maximum(t, 0.0))
+        neg = _grid_tau_nonneg(field, sigma_t, o, -d, jnp.maximum(-t, 0.0))
+        return jnp.where(t >= 0.0, pos, -neg)
     raise ValueError(f"unknown density kind {field.kind!r}")
+
+
+def _grid_rails(field: DensityField):
+    """World-space clamp rails of the trilinear lattice: coordinates map to
+    u_i = (x_i - org_i)/spc_i - 0.5 clipped to [0, n_i - 1], so the clamp
+    engages at x = org + 0.5 spc (low) and org + (n - 0.5) spc (high)."""
+    nx, ny, nz = field.params.shape
+    # python floats: numpy scalars in grid_origin/spacing (fields built
+    # by hand instead of df.grid()) are NOT weak-typed and would promote
+    # the whole lane state to f64 under jax x64
+    org = tuple(float(v) for v in field.grid_origin)
+    spc = tuple(float(v) for v in field.grid_spacing)
+    lo = tuple(org[i] + 0.5 * spc[i] for i in range(3))
+    hi = tuple(org[i] + (n - 0.5) * spc[i]
+               for i, n in enumerate((nx, ny, nz)))
+    return lo, hi
+
+
+def _grid_window(field: DensityField, o, d):
+    """(t0, t1): the canonical model's marched variation window.
+
+    t1 = railing distance — beyond it every coordinate is frozen by
+    clamp-to-edge and the density is exactly constant (t_i =
+    (rail_i - o_i)/d_i per axis; a coordinate with d_i ~ 0 never moves).
+    t0 = slab entry into the rail box (0 when the origin is inside or the
+    ray misses): the model treats [0, t0] as ONE constant-density head
+    segment — outside the box only boundary-slide variation exists, and
+    spending march segments on a camera's dead approach stretch starved
+    the in-volume resolution (round-4 tomography regression: segments 3x
+    the voxel size made the score density inconsistent with the field).
+    The window length is CAPPED at march_extent grid diagonals: a
+    near-face-parallel component otherwise rails at extent/|d_i| ~ 1e5
+    units (residual variation beyond the cap is declared constant — a
+    documented model choice affecting only such rays in open scenes).
+    tau, the sampling inversion and the event pc density all share this
+    window, so self-consistency is exact by construction."""
+    lo, hi = _grid_rails(field)
+    t_rail = jnp.zeros_like(o[..., 0])
+    t_enter = jnp.full_like(o[..., 0], -_BIG)
+    t_exit = jnp.full_like(o[..., 0], _BIG)
+    for i in range(3):
+        di = d[..., i]
+        oi = o[..., i]
+        moving = jnp.abs(di) > 1e-12
+        inv = 1.0 / jnp.where(moving, di, 1.0)
+        rail = jnp.where(di > 0.0, hi[i], lo[i])
+        t_rail = jnp.maximum(t_rail,
+                             jnp.where(moving, (rail - oi) * inv, 0.0))
+        ta = (lo[i] - oi) * inv
+        tb = (hi[i] - oi) * inv
+        inside = (oi >= lo[i]) & (oi <= hi[i])
+        near = jnp.where(moving, jnp.minimum(ta, tb),
+                         jnp.where(inside, -_BIG, _BIG))
+        far = jnp.where(moving, jnp.maximum(ta, tb),
+                        jnp.where(inside, _BIG, -_BIG))
+        t_enter = jnp.maximum(t_enter, near)
+        t_exit = jnp.minimum(t_exit, far)
+    diag = math.sqrt(sum((n * s) ** 2 for n, s in
+                         zip(field.params.shape, field.grid_spacing)))
+    cap = field.march_extent * diag
+    box_hit = (t_enter <= t_exit) & (t_exit > 0.0)
+    t0 = jnp.where(box_hit, jnp.clip(t_enter, 0.0, None), 0.0)
+    # TWO-REGION march (round 4): region A [t0, ta] covers the box
+    # crossing — at most one diagonal, where the field actually varies —
+    # with ~3/4 of the segments; region B [ta, tb] covers the boundary-
+    # slide stretch out to the railing distance with the rest. A single
+    # window to t_rail starved the crossing of resolution (h of several
+    # voxels — a visible n_march=8-vs-16 image bias on chip); a window
+    # cut at the box exit mismodeled far-tail queries through the slide
+    # region (2x tau errors on oblique rays). Rays that never enter the
+    # box are all slide: A and B split the capped railing window.
+    ta = jnp.where(box_hit,
+                   jnp.minimum(jnp.minimum(t_exit, t_rail), t0 + cap),
+                   jnp.minimum(t_rail, cap) * 0.75)
+    ta = jnp.maximum(ta, t0 + 1e-6)
+    tb = jnp.minimum(t_rail, ta + cap)
+    tb = jnp.maximum(tb, ta + 1e-6)
+    return t0, ta, tb
+
+
+def _grid_m_split(M: int):
+    """Static split of the n_march budget: ~3/4 to the crossing region A,
+    the rest to the slide region B."""
+    m2 = max(1, M // 4)
+    return M - m2, m2
+
+
+def _grid_segments(field: DensityField, o, d):
+    """Per-segment (start, width) arrays of the canonical two-region
+    segmentation, shape (M, ...)."""
+    t0, ta, tb = _grid_window(field, o, d)
+    M = field.n_march
+    M1, M2 = _grid_m_split(M)
+    h1 = (ta - t0) / M1
+    h2 = (tb - ta) / M2
+    i = jnp.arange(M, dtype=h1.dtype).reshape((M,) + (1,) * t0.ndim)
+    in_a = i < M1
+    seg0 = jnp.where(in_a, t0[None] + i * h1[None],
+                     ta[None] + (i - M1) * h2[None])
+    w = jnp.where(in_a, h1[None], h2[None])
+    return t0, ta, tb, h2, seg0, w
+
+
+def _grid_tau_nonneg(field: DensityField, sigma_t, o, d, t):
+    """Canonical-model optical depth for t >= 0 (see optical_depth GRID):
+    constant head on [0, t0], the two-region midpoint segmentation on
+    [t0, tb], constant tail beyond tb."""
+    t0, ta, tb, h2, seg0, w = _grid_segments(field, o, d)
+    pts = o[None] + (seg0 + 0.5 * w)[..., None] * d[None]
+    dens = density(field, pts)                            # (M, ...)
+    overlap = jnp.clip(t[None] - seg0, 0.0, w)
+    tau_march = jnp.sum(dens * overlap, axis=0)
+    rho_head = density(field, o + (0.5 * t0)[..., None] * d)
+    d_inf = density(field, o + (tb + h2)[..., None] * d)
+    return sigma_t * (rho_head * jnp.minimum(t, t0) + tau_march
+                      + d_inf * jnp.maximum(t - tb, 0.0))
+
+
+def grid_pc_density(field: DensityField, o, d, t):
+    """The canonical pc model's OWN density at ray parameter t >= 0 —
+    i.e. d tau/dt / sigma_t: the exact sampling-pdf density of
+    _sample_grid_march (score terms must use THIS, not the trilinear
+    point value, or the event log-density disagrees with the law the
+    distance was actually drawn from)."""
+    M = field.n_march
+    M1, M2 = _grid_m_split(M)
+    t0, ta, tb = _grid_window(field, o, d)
+    h1 = (ta - t0) / M1
+    h2 = (tb - ta) / M2
+    kA = jnp.clip(jnp.floor((t - t0) / h1), 0, M1 - 1)
+    kB = jnp.clip(jnp.floor((t - ta) / h2), 0, M2 - 1)
+    t_mid = jnp.where(t < ta, t0 + (kA + 0.5) * h1, ta + (kB + 0.5) * h2)
+    # head / body / tail sample point, one trilinear eval
+    t_s = jnp.where(t < t0, 0.5 * t0, jnp.where(t > tb, tb + h2, t_mid))
+    return density(field, o + t_s[..., None] * d)
 
 
 def transmittance_between(field: DensityField, sigma_t, x1, x2,
@@ -335,14 +484,62 @@ def _sample_delta(field: DensityField, sigma_t, o, d, key, t_cap):
     return jnp.where(done, t, _BIG)
 
 
+def _sample_grid_march(field: DensityField, sigma_t, o, d, u, t_cap):
+    """Exact closed-form inversion of the canonical piecewise-constant tau
+    (_grid_tau_nonneg): walk the SAME [0, t_far]/M segmentation
+    accumulating tau until it crosses tau* = -log(1-u); inside the
+    crossing segment the density is constant so the solve is linear; past
+    t_far the density is exactly constant so the tail inverts like a
+    homogeneous medium (escape to _BIG when the tail density ~ 0).
+    Marginally P(d > T) = e^{-tau(T)} for the same tau every weight uses —
+    the free-flight estimator is self-consistent by construction.
+    Deterministic in `u` (replayable, reparameterizable), no tracking
+    loop, no max_null escape bias."""
+    t0, ta, tb, h2, seg0, w = _grid_segments(field, o, d)
+    # cast: under jax x64 the engine's uniforms default to f64, which
+    # would promote the whole lane state through d_s
+    tau_star = -jnp.log1p(-u.astype(o.dtype))
+    # constant head [0, t0]
+    rho_head = density(field, o + (0.5 * t0)[..., None] * d)
+    tau_head = sigma_t * rho_head * t0
+    pts = o[None] + (seg0 + 0.5 * w)[..., None] * d[None]
+    dens = density(field, pts)                            # (M, ...)
+    dtau = sigma_t * dens * w
+    cum = tau_head[None] + jnp.cumsum(dtau, axis=0)
+    prev = cum - dtau
+    # half-open (prev <= tau* < cum): exactly one segment matches even at
+    # boundaries and zero-density segments are skipped
+    cross = (cum > tau_star[None]) & (prev <= tau_star[None])
+    d_seg = seg0 + (tau_star[None] - prev) / jnp.maximum(
+        sigma_t * dens, 1e-30)
+    d_found = jnp.sum(jnp.where(cross, d_seg, 0.0), axis=0)
+    found = jnp.any(cross, axis=0)
+    in_head = tau_star < tau_head
+    d_head = tau_star / jnp.maximum(sigma_t * rho_head, 1e-30)
+    # tail: constant density d_inf beyond tb
+    d_inf = density(field, o + (tb + h2)[..., None] * d)
+    rate = sigma_t * d_inf
+    tau_left = tau_star - cum[-1]
+    d_tail = tb + tau_left / jnp.maximum(rate, 1e-30)
+    d_nf = jnp.where(rate > 1e-20, jnp.minimum(d_tail, _BIG), _BIG)
+    d_s = jnp.where(in_head, jnp.minimum(d_head, t0),
+                    jnp.where(found, d_found, d_nf))
+    del t_cap  # inversion is global; callers compare d_s > t_cap themselves
+    return d_s
+
+
 def sample_distance(field: DensityField, sigma_t, o, d, u, key, t_cap):
     """Heterogeneous free-flight distance along unit `d`: the drop-in for
     sampling.distance.free_flight_sample. Analytic inversion where the
-    field admits one (exp_height), delta tracking otherwise (blobs).
-    `u` feeds the analytic path; `key` the delta-tracking draws; `t_cap`
-    (surface distance) lets delta tracking stop early."""
+    field admits one (exp_height), exact inversion of the canonical
+    piecewise-constant tau for voxel grids (_sample_grid_march), delta
+    tracking otherwise (blobs). `u` feeds the inversion paths; `key` the
+    delta-tracking draws; `t_cap` (surface distance) lets delta tracking
+    stop early."""
     if field.kind == EXP_HEIGHT:
         return _sample_exp_height(field, sigma_t, o, d, u)
-    if field.kind in (BLOBS, GRID):
+    if field.kind == GRID:
+        return _sample_grid_march(field, sigma_t, o, d, u, t_cap)
+    if field.kind == BLOBS:
         return _sample_delta(field, sigma_t, o, d, key, t_cap)
     raise ValueError(f"unknown density kind {field.kind!r}")
