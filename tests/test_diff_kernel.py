@@ -425,3 +425,79 @@ def test_fog_k_leaf_validation_and_guards():
                            interpret=True)   # blob field params stay baked
     with pytest.raises(ValueError, match="exp_height"):
         pack_params(SCENE, with_field=True)
+
+
+# ------------- voxel-grid gradients (diff_grid, round 4) -------------------
+# The flagship beyond-reference capability: d(render)/d(voxel values) at
+# kernel speed. Backward = per-sample two-phase replay (phase A learns the
+# sample's weighted total radiance, phase B replays the identical PCG
+# stream and scatters score + pathwise tau gradients immediately) with an
+# MXU one-hot scatter (prims.grid_scatter_point roll identity).
+
+
+@pytest.fixture(scope="module")
+def grid_pair():
+    sc = grid_cloud()
+    rg = make_diff_renderer(sc, CAM, W, H, SPP, max_bounces=8, tile_rows=8,
+                            interpret=True, diff_grid=True)
+    return sc, rg
+
+
+def test_diff_grid_fwd_matches_baked_kernel(grid_pair):
+    """diff_grid's forward must stay BIT-IDENTICAL to the baked grid
+    kernel (same packed table, same draws)."""
+    sc, rg = grid_pair
+    img = np.asarray(rg(pack_params(sc, with_grid=True), 3))
+    run_ref = build_tile_renderer(sc, CAM, W, H, SPP, max_bounces=8,
+                                  tile_rows=8, interpret=True)
+    ref = np.asarray(run_ref(3))
+    assert np.isfinite(img).all()
+    assert np.abs(img - ref).max() < 1e-6
+
+
+def test_diff_grid_guards():
+    sc = grid_cloud()
+    with pytest.raises(ValueError, match="tile_rows"):
+        make_diff_renderer(sc, CAM, W, H, SPP, diff_grid=True,
+                           tile_rows=32, interpret=True)
+    with pytest.raises(NotImplementedError, match="free-flight"):
+        make_diff_renderer(sc, CAM, W, H, SPP, diff_grid=True, tile_rows=8,
+                           distance="equiangular", interpret=True)
+    with pytest.raises(ValueError, match="voxel-grid"):
+        make_diff_renderer(SCENE, CAM, W, H, SPP, diff_grid=True,
+                           tile_rows=8, interpret=True)
+    r = make_diff_renderer(sc, CAM, W, H, SPP, tile_rows=8, diff_grid=True,
+                           interpret=True)
+    with pytest.raises(ValueError, match="grid"):
+        r(pack_params(sc), 3)            # missing leaf
+    with pytest.raises(ValueError, match="grid"):
+        pack_params(SCENE, with_grid=True)
+
+
+@pytest.mark.slow
+def test_diff_grid_voxel_grads_match_crn_fd(grid_pair):
+    """E[dL/dv] from the scatter backward agrees with common-random-number
+    central FD of the pair's own forward (event flips supply the score
+    mass; smooth chains cancel at matched seeds) on the highest-|g|
+    voxel."""
+    sc, rg = grid_pair
+    pg = pack_params(sc, with_grid=True)
+    loss = jax.jit(lambda pp, s: jnp.mean(rg(pp, s)))
+    gfn = jax.jit(jax.grad(lambda pp, s: jnp.mean(rg(pp, s))))
+    g0 = np.asarray(gfn(pg, jnp.int32(11))["grid"])
+    vox = np.unravel_index(np.argmax(np.abs(g0)), g0.shape)
+    h, K = 0.1, 20
+    gs_, fds = [], []
+    for k in range(K):
+        s = jnp.int32(4000 + k)
+        gs_.append(float(gfn(pg, s)["grid"][vox]))
+        pp = dict(pg)
+        pm = dict(pg)
+        pp["grid"] = pg["grid"].at[vox].add(h)
+        pm["grid"] = pg["grid"].at[vox].add(-h)
+        fds.append((float(loss(pp, s)) - float(loss(pm, s))) / (2 * h))
+    gm, gse = np.mean(gs_), np.std(gs_) / np.sqrt(K)
+    fm, fse = np.mean(fds), np.std(fds) / np.sqrt(K)
+    tol = 4.0 * np.hypot(gse, fse) + 0.1 * max(abs(gm), abs(fm))
+    assert np.isfinite([gm, fm]).all()
+    assert abs(gm - fm) < tol, (vox, gm, gse, fm, fse)

@@ -70,12 +70,14 @@ __all__ = ["make_diff_renderer", "pack_params", "unpack_params"]
 
 
 def pack_params(scene: Scene, with_g: bool = False,
-                with_field: bool = False):
+                with_field: bool = False, with_grid: bool = False):
     """Differentiable parameter pytree from a scene. with_g adds the HG
     anisotropy as a traced leaf (pair with make_diff_renderer(diff_g=True));
     with_field adds the exp_height fog falloff k as "fog_k" (pair with
-    diff_field=True). The leaf order keeps the first 2+6S packed indices
-    stable."""
+    diff_field=True); with_grid adds the voxel values as "grid" (pair
+    with diff_grid=True — the grid rides as a separate VMEM table, not in
+    the packed SMEM vector). The leaf order keeps the first 2+6S packed
+    indices stable."""
     p = {
         "sigma_a": jnp.asarray(scene.medium.sigma_a, jnp.float32),
         "sigma_s": jnp.asarray(scene.medium.sigma_s, jnp.float32),
@@ -90,6 +92,12 @@ def pack_params(scene: Scene, with_g: bool = False,
             raise ValueError(
                 "with_field=True needs an exp_height Medium.density")
         p["fog_k"] = jnp.asarray(fld.params[0], jnp.float32)
+    if with_grid:
+        fld = scene.medium.density
+        if fld is None or fld.kind != "grid":
+            raise ValueError("with_grid=True needs a voxel-grid "
+                             "Medium.density")
+        p["grid"] = jnp.asarray(fld.params, jnp.float32)
     return p
 
 
@@ -138,6 +146,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                        physical: bool = False,
                        diff_g: bool = False,
                        diff_field: bool = False,
+                       diff_grid: bool = False,
                        interpret: bool = False):
     """Build render(params, seed:int) -> (npix, 3), reverse-differentiable
     w.r.t. params (see module docstring).
@@ -179,6 +188,22 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
     sc = _scene_consts(scene)
     fc = sc["field"]        # heterogeneous density (None = homogeneous)
     grid_mode = fc is not None and fc["kind"] == "grid"
+    if diff_grid:
+        # voxel-value gradients: per-sample two-phase replay backward +
+        # MXU one-hot scatter (prims.grid_scatter_point). Free-flight
+        # only (the EA family's T/pSuccess/dens(xt) factors would each
+        # need their own scatter chains, like diff_field).
+        if not grid_mode:
+            raise ValueError(
+                "diff_grid=True needs a voxel-grid Medium.density")
+        if distance != "free":
+            raise NotImplementedError(
+                "diff_grid is free-flight-only (EA tau factors would "
+                "need their own scatter chains)")
+        if tile_rows != 8:
+            raise ValueError(
+                "diff_grid needs tile_rows=8 (the scatter one-hot is "
+                "(R*128, 128) f32 in VMEM; R=8 keeps it at 512KB)")
     if diff_field and distance != "free":
         raise NotImplementedError(
             "diff_field (traced fog_k) is free-flight-only: the EA family's"
@@ -238,10 +263,14 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
         """One kernel body; grads=False -> forward image sums,
         grads=True -> replay + gradient vector. Identical RNG draws."""
 
+        two_phase = grads and diff_grid
+
         def kernel(params_ref, seed_ref, base_ref, *outs):
             if grid_mode:
                 tab_ref, outs = outs[0], outs[1:]
-            if grads:
+            if grads and diff_grid:
+                (gbar_r, gbar_g, gbar_b, out_g, out_grid) = outs
+            elif grads:
                 (gbar_r, gbar_g, gbar_b, out_g) = outs
             else:
                 (out_r, out_g_, out_b) = outs
@@ -347,15 +376,20 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                                  0.0) for i in range(3)]
                 return ldp, coef, lam, dist
 
-            def mis_v2(rng, at, xs, n, d):
+            def mis_v2(rng, at, xs, n, d, wtp=None):
                 """MISv2 + partials (see wavefront.mis_v2 for the algorithm;
-                misSamplingFunctions.h:96-170)."""
+                misSamplingFunctions.h:96-170). wtp (diff_grid): per-channel
+                adjoint weights wt*tp/cp — the per-light scatter sums
+                sum_i wtp[i]*term[i] land in misp["scat"] with each
+                light-strategy shadow ray's geometry for the voxel-tau
+                march scatter."""
                 acc = [z, z, z]
                 wo = [-d[0], -d[1], -d[2]]
                 dsig = [z, z, z]
                 drad = {}
                 dalb = [z, z, z]
                 dk = [z, z, z]          # d/d(fog_k) of the light strategy
+                scat = []               # diff_grid: per-light (w, wc, dist)
                 is_lam = (~at["is_mic"]) & (~at["is_die"])
                 for e in mis_lights:
                     ec = sc["c"][e]; er = float(sc["r"][e])
@@ -393,6 +427,10 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                                 is_lam,
                                 rad[e][i] * w_vis * wf * (1.0 / math.pi), 0.0)
                         drad[e] = [fr[i] * w_vis * wf for i in range(3)]
+                        if diff_grid:
+                            w_sc_e = (wtp[0] * term[0] + wtp[1] * term[1]
+                                      + wtp[2] * term[2])
+                            scat.append((w_sc_e, wc, normcx))
                         if diff_field:
                             # d(tr)/dk = tr * (-sigma_t * dI/dk)
                             dIk = pr.field_tau_dk(fck, xs, wc, normcx)
@@ -467,7 +505,8 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 for i in range(3):
                     dalb[i] += jnp.where(is_lam & nz_l, le[i] * wg, 0.0)
                 return acc, {"dsig": dsig, "drad": drad, "dalb": dalb,
-                             "dle": dle, "sid2": sid2, "dk": dk}
+                             "dle": dle, "sid2": sid2, "dk": dk,
+                             "scat": scat}
 
             def medium_nee(rng, d, xt, lc, lrad, lr, lid):
                 wc = [lc[i] - xt[i] for i in range(3)]
@@ -508,15 +547,30 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 w = jnp.where(visible,
                               jnp.exp(-sigma_t * att) * (phase * pr.TWO_PI)
                               * jnp.maximum(1.0 - cos_max, 1e-12), 0.0)
-                return [lrad[i] * w for i in range(3)], w, att, dlogp, datt_k
+                return ([lrad[i] * w for i in range(3)], w, att, dlogp,
+                        datt_k, wl, t)
 
             # ------------- the persistent loop ---------------------------
             def loop_body(state):
                 (o, d, tp, L, Lps, alive_i, depth, samples, it, rngs,
                  acc) = state
                 alive = alive_i > 0
-                rng = pr.Pcg(rngs)
                 need = (~alive) & (samples < spp)
+                if two_phase:
+                    # per-sample two-phase replay: phase A (gphase==0)
+                    # renders the sample to learn its weighted total
+                    # radiance wLtot; phase B restores the SAME PCG state
+                    # and replays the identical path, accumulating every
+                    # gradient family (incl. the voxel scatters, which
+                    # need wLtot) — adjoints are phase-masked via wt_l
+                    phB = acc["phase"] > 0
+                    rngs = jnp.where(need & phB, acc["rng_save"], rngs)
+                    acc["rng_save"] = jnp.where(need & ~phB, rngs,
+                                                acc["rng_save"])
+                    wt_l = [jnp.where(phB, wt[i], 0.0) for i in range(3)]
+                elif grads:
+                    wt_l = wt
+                rng = pr.Pcg(rngs)
                 nd = camera_ray(rng, samples)
                 one = 1.0 + z
                 o = pr.sel3(need, [jnp.float32(cam_o[i]) + z
@@ -652,9 +706,33 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                         k_med = att_t * tr_act / one_m_tr
                         k_sc = jnp.where(shade_pre, -att_t,
                                          jnp.where(medium & hit, k_med, 0.0))
-                    wL0 = wt[0] * Lps[0] + wt[1] * Lps[1] + wt[2] * Lps[2]
+                    wL0 = wt_l[0] * Lps[0] + wt_l[1] * Lps[1] + wt_l[2] * Lps[2]
                     acc["A_st"] += k_sc
                     acc["B_st"] += k_sc * wL0
+                    if diff_grid:
+                        # voxel event scores, IMMEDIATE (phase B knows the
+                        # sample's wLtot): dlog P(surf)/dv = -sigma dI(t)/dv;
+                        # dlog p(d)/dv = dlog rho_pc(d)/dv - sigma dI(d)/dv.
+                        # wt_l is zero in phase A, but wLtot is stale there
+                        # too — gate explicitly on phB.
+                        w_sc = jnp.where(phB & (shade_pre | medium),
+                                         acc["wLtot"] - wL0, 0.0)
+                        t_detg = jnp.where(shade_pre, t_eff, 0.0)
+                        d_detg = jnp.where(medium & (d_s < 0.5 * BIG),
+                                           d_s, 0.0)
+                        acc["g_grid"] = pr.grid_march_scatter(
+                            fck, o, d,
+                            jnp.where(shade_pre, -sigma_t * w_sc, 0.0),
+                            t_detg,
+                            jnp.where(medium, -sigma_t * w_sc, 0.0),
+                            d_detg, acc["g_grid"])
+                        x_pc, rho_pc = pr.grid_pc_point(fck, o, d, d_detg)
+                        acc["g_grid"] = pr.grid_scatter_point(
+                            fck, x_pc,
+                            jnp.where(medium,
+                                      w_sc / jnp.maximum(rho_pc, 1e-30),
+                                      0.0),
+                            acc["g_grid"])
                     if diff_field:
                         # fog-k score: dlog p(d)/dk = dlog dens(x_d)/dk
                         # - sigma_t dI(d)/dk (medium) / dlog P(surf)/dk =
@@ -687,7 +765,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                     for e in emitters:
                         m = credit & (at["sid"] == e)
                         for i in range(3):
-                            gw = wt[i] * tp[i]
+                            gw = wt_l[i] * tp[i]
                             if physical:
                                 gw = gw * inv_cp
                             acc[f"g_rad_{e}_{i}"] += jnp.where(m, gw, 0.0)
@@ -704,7 +782,9 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                         att_pl = pr.field_tau(fck, 1.0, xs, wlight,
                                               dist_ls, nonneg=True)
                     trs = jnp.exp(-sigma_t * att_pl)
-                    ldm, misp = mis_v2(rng, at, xs, nrm, d)
+                    wtp = ([wt_l[i] * tp[i] * inv_cp for i in range(3)]
+                           if (grads and diff_grid) else None)
+                    ldm, misp = mis_v2(rng, at, xs, nrm, d, wtp)
                     for i in range(3):
                         add = jnp.where(
                             shade,
@@ -715,16 +795,22 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                         # immediate sigma_t terms: d(trs)/dsigma and MIS tr
                         gs = z
                         for i in range(3):
-                            gs += wt[i] * (ldp[i] * trs * (-att_pl) * inv_ps
+                            gs += wt_l[i] * (ldp[i] * trs * (-att_pl) * inv_ps
                                            + misp["dsig"][i]) * tp[i] * inv_cp
                         acc["g_st"] += jnp.where(shade, gs, 0.0)
+                        if diff_grid:
+                            gpl = z
+                            for i in range(3):
+                                gpl += (wt_l[i] * ldp[i] * trs * inv_ps
+                                        * tp[i] * inv_cp)
+                            gpl = jnp.where(shade, gpl, 0.0)
                         if diff_field:
                             # immediate fog-k terms of the surface NEE trs
                             # and the MIS light-strategy transmittances
                             dIk_pl = pr.field_tau_dk(fck, xs, wlight, dist_ls)
                             gk = z
                             for i in range(3):
-                                gk += wt[i] * (
+                                gk += wt_l[i] * (
                                     ldp[i] * trs * (-sigma_t * dIk_pl)
                                     * inv_ps + misp["dk"][i]) * tp[i] * inv_cp
                             acc["g_k"] += jnp.where(shade, gk, 0.0)
@@ -733,23 +819,23 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                             m = shade & (lid == e)
                             for i in range(3):
                                 g = jnp.where(
-                                    m, wt[i] * ldp_coef[i] * trs * inv_ps
+                                    m, wt_l[i] * ldp_coef[i] * trs * inv_ps
                                     * tp[i] * inv_cp, 0.0)
                                 if e in misp["drad"]:
                                     g += jnp.where(
                                         shade,
-                                        wt[i] * misp["drad"][e][i] * tp[i] * inv_cp,
+                                        wt_l[i] * misp["drad"][e][i] * tp[i] * inv_cp,
                                         0.0)
                                 g += jnp.where(
                                     shade & (misp["sid2"] == e),
-                                    wt[i] * misp["dle"][i] * tp[i] * inv_cp, 0.0)
+                                    wt_l[i] * misp["dle"][i] * tp[i] * inv_cp, 0.0)
                                 acc[f"g_rad_{e}_{i}"] += g
                         # albedo of the shaded sphere
                         for s in alb_ids:
                             m = shade & (at["sid"] == s)
                             for i in range(3):
                                 acc[f"g_alb_{s}_{i}"] += jnp.where(
-                                    m, wt[i] * (ldp_lam[i] * trs * inv_ps
+                                    m, wt_l[i] * (ldp_lam[i] * trs * inv_ps
                                                 + misp["dalb"][i]) * tp[i] * inv_cp,
                                     0.0)
 
@@ -784,8 +870,8 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                         med_scale = med_scale * pr.field_density(fck, xt)
                     med_dsig = -att_along - att_t * tr_act / one_m_tr
                 if nee:
-                    ld_med, w_med, att_nee, dlogp_nee, datt_k = medium_nee(
-                        rng, d, xt, lc, lrad, lr, lid)
+                    (ld_med, w_med, att_nee, dlogp_nee, datt_k, wl_nee,
+                     t_nee) = medium_nee(rng, d, xt, lc, lrad, lr, lid)
                     adds = [jnp.where(medium,
                                       ld_med[i] * inv_ps * tp[i] * med_scale,
                                       0.0)
@@ -797,10 +883,29 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                         gs = z
                         gx = z
                         for i in range(3):
-                            gs += wt[i] * adds[i] * (-att_nee + med_dsig)
-                            gx += wt[i] * adds[i]
+                            gs += wt_l[i] * adds[i] * (-att_nee + med_dsig)
+                            gx += wt_l[i] * adds[i]
                         acc["g_st"] += gs
                         acc["g_ssx"] += gx * (1.0 / ss)
+                        if diff_grid:
+                            # pathwise voxel terms of every NEE
+                            # transmittance: exp(-sigma I) factors give
+                            # -sigma * dI/dv * (adjoint value). pLight
+                            # (shade) and medium-NEE (medium) are
+                            # exclusive per lane -> ONE merged march;
+                            # MIS light-strategy rays march separately
+                            o_m = pr.sel3(shade, xs, xt)
+                            d_m = pr.sel3(shade, wlight, wl_nee)
+                            t_m = jnp.where(shade, dist_ls, t_nee)
+                            w_m = (-sigma_t) * (gpl + gx)
+                            acc["g_grid"] = pr.grid_march_scatter(
+                                fck, o_m, d_m, w_m, t_m, z, z,
+                                acc["g_grid"])
+                            for (w_e, wc_e, dist_e) in misp["scat"]:
+                                acc["g_grid"] = pr.grid_march_scatter(
+                                    fck, xs, wc_e,
+                                    jnp.where(shade, -sigma_t * w_e, 0.0),
+                                    dist_e, z, z, acc["g_grid"])
                         if diff_field:
                             # immediate fog-k term of the medium-NEE
                             # transmittance (med_scale is k-independent:
@@ -817,14 +922,14 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                             m = medium & (lid == e)
                             for i in range(3):
                                 acc[f"g_rad_{e}_{i}"] += jnp.where(
-                                    m, wt[i] * w_med * inv_ps * tp[i]
+                                    m, wt_l[i] * w_med * inv_ps * tp[i]
                                     * med_scale, 0.0)
                 tp_medium = [tp[i] * med_scale for i in range(3)]
 
                 if grads:
                     # deferred log-throughput factors (family 2) vs L-prefix
                     # AFTER this bounce's emissions
-                    wL1 = wt[0] * Lps[0] + wt[1] * Lps[1] + wt[2] * Lps[2]
+                    wL1 = wt_l[0] * Lps[0] + wt_l[1] * Lps[1] + wt_l[2] * Lps[2]
                     k_med_st = jnp.where(medium, med_dsig, 0.0)
                     k_med_ssx = jnp.where(medium, 1.0 / ss, 0.0)
                     acc["A_st"] += k_med_st
@@ -848,7 +953,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                         for i in range(3):
                             inv_a = jnp.where(alb[s][i] > 0.0,
                                               1.0 / alb[s][i], 0.0)
-                            k = jnp.where(m, wt[i] * inv_a, 0.0)
+                            k = jnp.where(m, wt_l[i] * inv_a, 0.0)
                             acc[f"A_alb_{s}_{i}"] += k
                             acc[f"B_alb_{s}_{i}"] += k * Lps[i]
 
@@ -859,11 +964,23 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 depth = jnp.where(alive2, depth + 1, depth)
 
                 finished = was_alive & ~alive2
-                samples = samples + finished.astype(jnp.int32)
+                if two_phase:
+                    finA = finished & ~phB
+                    finB = finished & phB
+                    # capture the sample's weighted total with the RAW wt
+                    # (wt_l is zero in phase A) BEFORE Lps resets below
+                    acc["wLtot"] = jnp.where(
+                        finA, wt[0] * Lps[0] + wt[1] * Lps[1]
+                        + wt[2] * Lps[2], acc["wLtot"])
+                    acc["phase"] = jnp.where(
+                        finA, 1, jnp.where(finB, 0, acc["phase"]))
+                    samples = samples + finB.astype(jnp.int32)
+                else:
+                    samples = samples + finished.astype(jnp.int32)
                 if grads:
                     # fold deferred pairs: contribution A * L_total - B,
                     # L_total == the finished sample's prefix
-                    WL = wt[0] * Lps[0] + wt[1] * Lps[1] + wt[2] * Lps[2]
+                    WL = wt_l[0] * Lps[0] + wt_l[1] * Lps[1] + wt_l[2] * Lps[2]
                     acc["g_st"] += jnp.where(finished,
                                              acc["A_st"] * WL - acc["B_st"],
                                              0.0)
@@ -897,14 +1014,21 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 return (o, d, tp, L, Lps, alive2.astype(jnp.int32), depth,
                         samples, it + 1, rng.s, acc)
 
+            iters_cap = max_iters * 2 if two_phase else max_iters
+
             def loop_cond(state):
                 samples, it = state[7], state[8]
-                return (it < max_iters) & jnp.any(samples < spp)
+                return (it < iters_cap) & jnp.any(samples < spp)
 
             acc = {}
             if grads:
                 acc = {"g_st": z, "g_ssx": z, "A_st": z, "B_st": z,
                        "A_ssx": z, "B_ssx": z}
+                if diff_grid:
+                    acc["g_grid"] = jnp.zeros((C_tab, 128), jnp.float32)
+                    acc["phase"] = jnp.zeros((R, 128), jnp.int32)
+                    acc["rng_save"] = jnp.zeros((R, 128), jnp.int32)
+                    acc["wLtot"] = z
                 if diff_g:
                     acc.update({"g_g": z, "A_g": z, "B_g": z})
                 if diff_field:
@@ -969,12 +1093,19 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
             for k, v in vals.items():
                 out = out + jnp.where((grow == 0) & (gcol == k), v, 0.0)
             out_g[:] = out
+            if diff_grid:
+                out_grid[:] = acc["g_grid"]
 
         return kernel
 
     interp = pltpu.InterpretParams() if interpret else False
     tab_host = (grid_table(scene.medium.density.params) if grid_mode
                 else None)
+    C_tab = int(tab_host.shape[0]) if grid_mode else 0
+    T_grid = (int(np.prod(scene.medium.density.params.shape))
+              if grid_mode else 0)
+    grid_shape = (tuple(scene.medium.density.params.shape) if grid_mode
+                  else None)
     # grid table rides as one extra VMEM input on every call (empty lists
     # keep the non-grid call signatures unchanged)
     tab_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] if grid_mode
@@ -984,8 +1115,8 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
     fwd_kernel = make_kernel(grads=False)
     bwd_kernel = make_kernel(grads=True)
 
-    @jax.jit
-    def run_fwd(pvec, seed):
+    @functools.partial(jax.jit, static_argnames=())
+    def run_fwd(pvec, seed, *tab_arg):
         seeds = jnp.asarray([seed], jnp.int32).reshape(1)
         base = jnp.asarray([0], jnp.int32)
         outs = pl.pallas_call(
@@ -1006,12 +1137,12 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 for _ in range(3)
             ],
             interpret=interp,
-        )(pvec, seeds, base, *tab_args)
+        )(pvec, seeds, base, *tab_arg)
         flat = jnp.stack([o.reshape(-1) for o in outs], axis=-1)
         return flat[:npix] / spp
 
     @jax.jit
-    def run_bwd(pvec, seed, gbar):
+    def run_bwd(pvec, seed, gbar, *tab_arg):
         seeds = jnp.asarray([seed], jnp.int32).reshape(1)
         base = jnp.asarray([0], jnp.int32)
         pad = num_tiles * LANES - npix
@@ -1029,11 +1160,27 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                              memory_space=pltpu.VMEM)
                 for _ in range(3)
             ],
-            out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((num_tiles * 8, 128), jnp.float32),
+            out_specs=([pl.BlockSpec((8, 128), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((C_tab, 128), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)]
+                       if diff_grid else
+                       pl.BlockSpec((8, 128), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)),
+            out_shape=([jax.ShapeDtypeStruct((num_tiles * 8, 128),
+                                             jnp.float32),
+                        jax.ShapeDtypeStruct((num_tiles * C_tab, 128),
+                                             jnp.float32)]
+                       if diff_grid else
+                       jax.ShapeDtypeStruct((num_tiles * 8, 128),
+                                            jnp.float32)),
             interpret=interp,
-        )(pvec, seeds, base, *tab_args, *planes)
+        )(pvec, seeds, base, *tab_arg, *planes)
+        if diff_grid:
+            out, ggrid = out
+            ggrid = ggrid.reshape(num_tiles, C_tab, 128).sum(axis=0)
+            gvec = out.reshape(num_tiles, 8, 128)[:, 0, :].sum(axis=0)[:P]
+            return gvec, ggrid.reshape(-1)[:T_grid].reshape(grid_shape)
         return out.reshape(num_tiles, 8, 128)[:, 0, :].sum(axis=0)[:P]
 
     def _check_g_leaf(params):
@@ -1045,28 +1192,54 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
             raise ValueError(
                 "params must contain a 'fog_k' leaf iff diff_field=True — "
                 "build them with pack_params(scene, with_field=diff_field)")
+        if ("grid" in params) != diff_grid:
+            raise ValueError(
+                "params must contain a 'grid' leaf iff diff_grid=True — "
+                "build them with pack_params(scene, with_grid=diff_grid)")
+
+    def _tab_of(params):
+        # diff_grid: the table is TRACED (rebuilt from the params leaf);
+        # otherwise the baked scene values ride along as a constant
+        if not grid_mode:
+            return ()
+        if diff_grid:
+            return (grid_table(params["grid"]),)
+        return (tab_host,)
 
     @jax.custom_vjp
     def render(params, seed):
         _check_g_leaf(params)
-        return run_fwd(_flatten(params, S), seed)
+        return run_fwd(_flatten(params, S), seed, *_tab_of(params))
 
     def render_fwd(params, seed):
         _check_g_leaf(params)
         pvec = _flatten(params, S)
-        return run_fwd(pvec, seed), (pvec, seed)
+        tab = _tab_of(params)
+        return run_fwd(pvec, seed, *tab), (pvec, seed, tab)
 
     def render_bwd(res, gbar):
-        pvec, seed = res
-        gvec = run_bwd(pvec, seed, gbar)
+        pvec, seed, tab = res
         # seed is integer-valued: its cotangent type is float0
         seed_ct = np.zeros(np.shape(seed), jax.dtypes.float0)
+        if diff_grid:
+            gvec, ggrid = run_bwd(pvec, seed, gbar, *tab)
+            grads = unpack_params(gvec, S, with_g=diff_g,
+                                  with_field=diff_field)
+            grads["grid"] = ggrid
+            return grads, seed_ct
+        gvec = run_bwd(pvec, seed, gbar, *tab)
         return unpack_params(gvec, S, with_g=diff_g,
                              with_field=diff_field), seed_ct
 
     render.defvjp(render_fwd, render_bwd)
 
     def make_shard(n_tiles: int):
+        if diff_grid:
+            raise NotImplementedError(
+                "diff_grid + make_shard: the sharded wrappers do not "
+                "carry the voxel-grad output yet; train grids single-"
+                "chip (the psum of a (C,128) grad table is trivial to "
+                "add when a multi-chip tomography run needs it)")
         """Shard-range variant for multi-chip kernel TRAINING
         (dist/train_fast.make_sharded_kernel_train_step): render_shard(
         params, seed, base_pixel) -> (n_tiles*LANES, 3) per-lane pixel

@@ -640,6 +640,18 @@ def grid_lookup(tab, idx):
     return r
 
 
+def grid_lookup_pair(tab, idx):
+    """(g[idx], g[idx+1]) from the bf16 z-pair table (wavefront.
+    grid_table): one chunked lane gather + a 6-op bit unpack. A bf16 bit
+    pattern in the TOP 16 bits of an f32 IS that value as f32."""
+    w = grid_lookup(tab, idx)
+    iw = jax.lax.bitcast_convert_type(w, jnp.int32)
+    hi_bits = jnp.bitwise_and(iw, jnp.int32(-65536))        # 0xFFFF0000
+    lo_bits = jax.lax.shift_left(iw, jnp.int32(16))
+    return (jax.lax.bitcast_convert_type(hi_bits, jnp.float32),
+            jax.lax.bitcast_convert_type(lo_bits, jnp.float32))
+
+
 def grid_cell(fc, x):
     """Clamped trilinear cell of x: (base flat index, fx, fy, fz)."""
     nx, ny, nz = fc["dims"]
@@ -659,19 +671,16 @@ def grid_cell(fc, x):
 
 
 def grid_density(fc, x):
-    """Trilinear clamp-to-edge density (media/density.py GRID branch)."""
+    """Trilinear clamp-to-edge density (media/density.py GRID branch),
+    4 z-pair gathers against the packed table."""
     nz = fc["dims"][2]
     snx = fc["dims"][1] * nz
     base, fx, fy, fz = grid_cell(fc, x)
     tab = fc["tab"]
-    c000 = grid_lookup(tab, base)
-    c001 = grid_lookup(tab, base + 1)
-    c010 = grid_lookup(tab, base + nz)
-    c011 = grid_lookup(tab, base + nz + 1)
-    c100 = grid_lookup(tab, base + snx)
-    c101 = grid_lookup(tab, base + snx + 1)
-    c110 = grid_lookup(tab, base + snx + nz)
-    c111 = grid_lookup(tab, base + snx + nz + 1)
+    c000, c001 = grid_lookup_pair(tab, base)
+    c010, c011 = grid_lookup_pair(tab, base + nz)
+    c100, c101 = grid_lookup_pair(tab, base + snx)
+    c110, c111 = grid_lookup_pair(tab, base + snx + nz)
     c00 = c000 + (c001 - c000) * fz
     c01 = c010 + (c011 - c010) * fz
     c10 = c100 + (c101 - c100) * fz
@@ -956,6 +965,113 @@ def field_sample_free(fc, sigma_t, o, d, u, rng, t_cap):
     # vacuum scatter would be heavy-tailed); bias ~0 once max_null steps
     # span the dense region
     return jnp.where(done > 0, t, BIG)
+
+
+# --- voxel-gradient scatter (round 4, diff_grid) ---------------------------
+# The backward of a trilinear gather is a scatter — the one primitive the
+# VPU lacks entirely (no lane scatter). We run it on the idle MXU: for a
+# batch of per-lane (cell, weight) contributions, build the 128-column
+# one-hot of the BASE corner's lane index once, stack the 8 corners'
+# chunk-row weight matrices, and use the roll identity
+#     W_c @ roll(onehot, s) == roll_cols(W_c @ onehot, s)
+# so ONE (8C, R*128) @ (R*128, 128) matmul scatters all 8 corners; the
+# per-corner column shift becomes a cheap roll of the (C, 128) product.
+# Chunk-row wrap (lo + s >= 128) is exact: each corner's W rows use its
+# OWN hi = (base + s) >> 7, and (base + s) & 127 == (lo + s) mod 128.
+
+def grid_pc_point(fc, o, d, t):
+    """(t_s, rho) of the pc model at ray parameter t >= 0: the sample
+    point whose trilinear cell carries dlog rho_pc/dv, and its density."""
+    M = fc["n_march"]
+    M1, M2 = grid_m_split(M)
+    t0, ta, tb = grid_window(fc, o, d)
+    h1 = (ta - t0) * (1.0 / M1)
+    h2 = (tb - ta) * (1.0 / M2)
+    kA = jnp.clip(jnp.floor((t - t0) / h1), 0.0, M1 - 1.0)
+    kB = jnp.clip(jnp.floor((t - ta) / h2), 0.0, M2 - 1.0)
+    t_mid = jnp.where(t < ta, t0 + (kA + 0.5) * h1, ta + (kB + 0.5) * h2)
+    t_s = jnp.where(t < t0, 0.5 * t0, jnp.where(t > tb, tb + h2, t_mid))
+    x = [o[j] + t_s * d[j] for j in range(3)]
+    return x, grid_density(fc, x)
+
+
+def grid_scatter_point(fc, x, w, gacc):
+    """gacc (C, 128) += sum over lanes of w * d(trilinear(x))/d(voxels).
+
+    x: 3 lane arrays (R, 128); w: per-lane weight (0 = masked out).
+    One MXU matmul per call (see the block comment above)."""
+    C = gacc.shape[0]
+    nz = fc["dims"][2]
+    snx = fc["dims"][1] * nz
+    base, fx, fy, fz = grid_cell(fc, x)
+    R = base.shape[0]
+    offs = (0, 1, nz, nz + 1, snx, snx + 1, snx + nz, snx + nz + 1)
+    cw = []
+    for a in (0, 1):
+        wa = fx if a else (1.0 - fx)
+        for b in (0, 1):
+            wb = fy if b else (1.0 - fy)
+            for c in (0, 1):
+                wc_ = fz if c else (1.0 - fz)
+                cw.append(w * wa * wb * wc_)
+    lo0 = jnp.bitwise_and(base, jnp.int32(127))
+    # one-hot of the base lane index, per sublane row -> (R*128, 128)
+    col = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    oh_rows = []
+    for r in range(R):
+        lo_r = lo0[r, :].reshape(128, 1)
+        oh_rows.append((lo_r == col).astype(jnp.float32))
+    onehot = jnp.concatenate(oh_rows, axis=0)            # (R*128, 128)
+    # stacked per-corner chunk-row weights -> (8C, R*128)
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (C, 128), 0)
+    w_blocks = []
+    for ci, off in enumerate(offs):
+        hi_c = jax.lax.shift_right_logical(base + off, jnp.int32(7))
+        row_blocks = []
+        for r in range(R):
+            m = (hi_c[r, :].reshape(1, 128) == jrow).astype(jnp.float32)
+            row_blocks.append(m * cw[ci][r, :].reshape(1, 128))
+        w_blocks.append(jnp.concatenate(row_blocks, axis=1))  # (C, R*128)
+    w_stack = jnp.concatenate(w_blocks, axis=0)          # (8C, R*128)
+    p = jax.lax.dot_general(
+        w_stack, onehot, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (8C, 128)
+    for ci, off in enumerate(offs):
+        gacc = gacc + pltpu_roll(p[ci * C:(ci + 1) * C, :], off % 128)
+    return gacc
+
+
+def pltpu_roll(arr, shift):
+    """Circular shift along the lane axis (static shift)."""
+    if shift == 0:
+        return arr
+    from jax.experimental.pallas import tpu as _pltpu
+    return _pltpu.roll(arr, shift, 1)
+
+
+def grid_march_scatter(fc, o, d, wA, tA, wB, tB, gacc):
+    """gacc += d/dv of (wA * I(tA) + wB * I(tB)) where I is the canonical
+    optical path per unit sigma along (o, d): per-segment coefficients
+    (overlap with [0, t]) at the midpoint corners, plus the constant head
+    and tail terms. ~(n_march + 2) scatter matmuls per call."""
+    t0, ta, tb = grid_window(fc, o, d)
+
+    def body(i, g):
+        seg0, w, _ = _grid_seg(fc, t0, ta, tb, i)
+        xm = [o[j] + (seg0 + 0.5 * w) * d[j] for j in range(3)]
+        cm = (wA * jnp.clip(tA - seg0, 0.0, w)
+              + wB * jnp.clip(tB - seg0, 0.0, w))
+        return grid_scatter_point(fc, xm, cm, g)
+
+    gacc = jax.lax.fori_loop(0, fc["n_march"], body, gacc)
+    h2 = (tb - ta) * (1.0 / float(fc["n_march"] - grid_m_split(fc["n_march"])[0]))
+    xh = [o[j] + 0.5 * t0 * d[j] for j in range(3)]
+    ch = wA * jnp.minimum(tA, t0) + wB * jnp.minimum(tB, t0)
+    gacc = grid_scatter_point(fc, xh, ch, gacc)
+    xt_ = [o[j] + (tb + h2) * d[j] for j in range(3)]
+    ct = (wA * jnp.maximum(tA - tb, 0.0)
+          + wB * jnp.maximum(tB - tb, 0.0))
+    return grid_scatter_point(fc, xt_, ct, gacc)
 
 
 def power_h(f, g):

@@ -135,12 +135,23 @@ def _scene_consts(scene: Scene):
 
 
 def grid_table(params) -> jnp.ndarray:
-    """Pad the grid's flat values into the (C, 128) f32 lookup table the
-    kernels gather from (prims.grid_lookup)."""
+    """Pack the grid's flat values into the (C, 128) z-PAIR lookup table
+    the kernels gather from: word j carries bf16(g[j]) in the high 16
+    bits and bf16(g[j+1]) in the low 16, so ONE lane gather at a
+    trilinear cell's base index returns BOTH z-corners
+    (prims.grid_lookup_pair) — halving the gather count, the dominant
+    cost of the grid kernels. bf16 quantizes densities to ~0.4% relative;
+    the scatter backward differentiates the same rounded model, so
+    AD-vs-FD consistency is unaffected."""
     flat = jnp.ravel(jnp.asarray(params, jnp.float32))
-    T = flat.shape[0]
+    b = flat.astype(jnp.bfloat16)
+    u = jax.lax.bitcast_convert_type(b, jnp.uint16).astype(jnp.int32)
+    nxt = jnp.concatenate([u[1:], u[-1:]])
+    word = jnp.bitwise_or(jnp.left_shift(u, 16), nxt)
+    tab = jax.lax.bitcast_convert_type(word, jnp.float32)
+    T = tab.shape[0]
     C = -(-T // 128)
-    return jnp.pad(flat, (0, C * 128 - T)).reshape(C, 128)
+    return jnp.pad(tab, (0, C * 128 - T)).reshape(C, 128)
 
 
 def build_tile_renderer(scene: Scene, camera, width: int, height: int,
