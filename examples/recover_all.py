@@ -1,0 +1,139 @@
+"""BASELINE configs[4] at its stated workload: recover
+{sigma_a, sigma_s, albedo(sphere), light position} JOINTLY from one
+1024x1024 target image by pixel-gradient descent on one chip.
+
+Block-coordinate descent over the two fused differentiable paths:
+  * MATERIAL block — the custom-VJP kernel pair (vpt.dist.fit_kernel):
+    sigma_a/sigma_s/albedo traced, score-function sigma gradients,
+    ~90M paths/s fwd+bwd;
+  * GEOMETRY block — boundary-aware CRN central differences on the
+    theta-traced forward kernel (vpt.dist.fit_geom_fd): light position
+    is silhouette/boundary-dominated, which the pathwise estimators
+    drop (BASELINE.md round-2 study), while seed-matched FD keeps the
+    smooth-chain noise correlated and the event flips carry exactly the
+    boundary mass.
+Each block bakes the other's current estimate — one kernel rebuild per
+block (a few compiles total), never per step.
+
+    python examples/recover_all.py            # TPU, 1024x1024 (~minutes)
+    python examples/recover_all.py --cpu      # toy CPU check
+"""
+import argparse
+import dataclasses
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--size", type=int, default=None)
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    import jax.numpy as jnp
+    import vpt
+    from vpt.dist.train_fast import fit_geom_fd, fit_kernel
+    from vpt.kernels.wavefront import build_tile_renderer
+
+    interp = args.cpu
+    if args.cpu:
+        W, H, spp_t, spp_m, spp_g, n_m, n_g = 48, 32, 32, 8, 8, 8, 6
+    else:
+        W = H = args.size or 1024
+        spp_t, spp_m, spp_g, n_m, n_g = 64, 16, 16, 60, 40
+
+    LIGHT = 8        # the reference's r=2 area light (Sphere.cpp:19)
+    SPHERE = 6       # the blue Lambertian sphere (Sphere.cpp:17)
+
+    truth = vpt.cornell_vpt()
+    cam = vpt.default_camera()
+    t0 = time.time()
+    target = np.asarray(
+        build_tile_renderer(truth, cam, W, H, spp_t, max_bounces=16,
+                            sampler="ld", interpret=interp)(99)
+    ).reshape(H, W, 3) / 1.0
+    print(f"target rendered ({W}x{H}x{spp_t}spp) in {time.time()-t0:.1f}s")
+
+    # ---- perturbed initial estimate ------------------------------------
+    est = truth
+    est = dataclasses.replace(
+        est, medium=dataclasses.replace(est.medium, sigma_a=0.003,
+                                        sigma_s=0.025))
+    est = dataclasses.replace(
+        est, albedo=est.albedo.at[SPHERE].set(jnp.asarray([0.5, 0.5, 0.35])))
+    est = dataclasses.replace(
+        est, center=est.center.at[LIGHT, 1].add(8.0))
+
+    def report(tag):
+        c_err = float(jnp.linalg.norm(est.center[LIGHT]
+                                      - truth.center[LIGHT]))
+        a_err = float(jnp.abs(est.albedo[SPHERE]
+                              - truth.albedo[SPHERE]).max())
+        print(f"[{tag}] sigma_a={float(est.medium.sigma_a):.5f} "
+              f"(true {float(truth.medium.sigma_a):.5f})  "
+              f"sigma_s={float(est.medium.sigma_s):.5f} "
+              f"(true {float(truth.medium.sigma_s):.5f})  "
+              f"|light dc|={c_err:.3f}  |albedo dmax|={a_err:.3f}  "
+              f"t={time.time()-t0:.0f}s", flush=True)
+
+    report("init")
+
+    def material_filter(p, init):
+        # recover sigma + THE sphere's albedo; walls/lights stay known
+        out = dict(init)
+        out["sigma_a"] = p["sigma_a"]
+        out["sigma_s"] = p["sigma_s"]
+        out["albedo"] = init["albedo"].at[SPHERE].set(p["albedo"][SPHERE])
+        return out
+
+    def geom_filter(th, init):
+        out = dict(init)
+        out["center"] = th["center"]     # light position only
+        return out
+
+    for r in range(args.rounds):
+        # ---- geometry block (light position, CRN-FD) -------------------
+        theta, _ = fit_geom_fd(
+            est, cam, target, sphere=LIGHT, cam_grads=False, sigma=False,
+            steps=n_g, spp=spp_g, learning_rate=0.4, max_bounces=16,
+            sampler="ld", seed=100 + r, interpret=interp,
+            param_filter=geom_filter,
+            log_every=0)
+        est = dataclasses.replace(
+            est, center=est.center.at[LIGHT].set(theta["center"]))
+        report(f"round {r+1} geom")
+
+        # ---- material block (sigma + albedo, diff pair) ----------------
+        params, _ = fit_kernel(
+            est, cam, target, steps=n_m, spp=spp_m, learning_rate=1.5e-3,
+            max_bounces=16, sampler="ld", seed=200 + r, interpret=interp,
+            param_filter=material_filter, log_every=0)
+        est = dataclasses.replace(
+            est,
+            medium=dataclasses.replace(est.medium,
+                                       sigma_a=params["sigma_a"],
+                                       sigma_s=params["sigma_s"]),
+            albedo=est.albedo.at[SPHERE].set(params["albedo"][SPHERE]))
+        report(f"round {r+1} matl")
+
+    print("\nfinal vs truth:")
+    print(f"  sigma_a  {float(est.medium.sigma_a):.5f}  "
+          f"true {float(truth.medium.sigma_a):.5f}")
+    print(f"  sigma_s  {float(est.medium.sigma_s):.5f}  "
+          f"true {float(truth.medium.sigma_s):.5f}")
+    print(f"  albedo[{SPHERE}] {np.asarray(est.albedo[SPHERE]).round(3)}  "
+          f"true {np.asarray(truth.albedo[SPHERE]).round(3)}")
+    print(f"  light[{LIGHT}]  {np.asarray(est.center[LIGHT]).round(2)}  "
+          f"true {np.asarray(truth.center[LIGHT]).round(2)}")
+    print(f"  wall clock {time.time()-t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--tile-rows", type=int, default=32)
     ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--train", action="store_true",
+                    help="measure the TRAINING step (fused fwd+bwd pair "
+                         "per shard) instead of the forward render")
     args = ap.parse_args()
 
     import jax
@@ -69,11 +72,62 @@ def main():
     rtt = timed(trivial, jnp.float32(3.0))
     print(f"host<->device round-trip (trivial jit): {rtt*1e3:.1f}ms")
 
+    K = args.k
+    if args.train:
+        # TRAINING-step strong scaling (round 4, VERDICT #3): each shard
+        # runs the fused fwd+bwd pair over its tile range (the compute
+        # side of dist/train_fast.make_sharded_kernel_train_step). The
+        # step's ONLY collective is a psum of the packed gradient vector
+        # — P = 2+6S (+g +fog_k) floats, ~250 BYTES — whose ICI cost is
+        # microseconds against a ~50ms shard: per-shard device time IS
+        # the pod step time to <0.1%, and "overlap with backward" is moot
+        # at this payload (see BASELINE.md round-4 notes).
+        from vpt.kernels.diff import make_diff_renderer, pack_params, \
+            _flatten
+        render = make_diff_renderer(scene, cam, W, H, args.spp // 2,
+                                    max_bounces=32,
+                                    tile_rows=args.tile_rows, sampler="ld")
+        lanes = render.lanes_per_tile
+        S = scene.radius.shape[0]
+        params = pack_params(scene)
+        rows = []
+        for D in (1, 2, 4, 8):
+            ntiles = -(-W * H // (lanes * D))
+            shard = render.make_shard(ntiles)
+            npx = ntiles * lanes
+            target = jnp.zeros((npx, 3), jnp.float32)
+
+            @jax.jit
+            def go(p, seed):
+                acc = jnp.float32(0)
+                for k in range(K):
+                    def loss_fn(pp):
+                        a = shard(pp, seed * 2 + 2 * k, jnp.int32(0))
+                        b = shard(pp, seed * 2 + 2 * k + 1, jnp.int32(0))
+                        return jnp.mean((a - target) * (b - target))
+
+                    l, g = jax.value_and_grad(loss_fn)(p)
+                    acc = acc + l + g["sigma_s"] * 0.0
+                return acc
+
+            t = timed(go, params, jnp.int32(3)) / K
+            # each A/B step renders 2x(spp/2) samples fwd AND bwd
+            paths = npx * args.spp
+            rows.append((D, ntiles, t, paths / t / 1e6))
+            print(f"D={D}: tiles/shard={ntiles:4d} t/step={t*1e3:6.1f}ms "
+                  f"{paths/t/1e6:7.1f}M paths/s/chip fwd+bwd", flush=True)
+        base = rows[0][3]
+        print("\ntraining-step strong scaling (A/B fwd+bwd pair, device "
+              "time; the ~250B grad psum adds <0.1%):")
+        for D, ntiles, t, mps in rows:
+            print(f"D={D}: {mps:7.1f}M paths/s/chip  "
+                  f"efficiency {mps/base*100:5.1f}%")
+        return
+
     run = wf.build_tile_renderer(scene, cam, W, H, args.spp, nee=True,
                                  distance="free", tile_rows=args.tile_rows,
                                  sampler="ld")
     lanes = run.lanes_per_tile
-    K = args.k
     rows = []
     for D in (1, 2, 4, 8):
         ntiles = -(-W * H // (lanes * D))
