@@ -111,10 +111,31 @@ def main():
         report(f"round {r+1} geom")
 
         # ---- material block (sigma + albedo, diff pair) ----------------
-        params, _ = fit_kernel(
-            est, cam, target, steps=n_m, spp=spp_m, learning_rate=1.5e-3,
-            max_bounces=16, sampler="ld", seed=200 + r, interpret=interp,
-            param_filter=material_filter, log_every=0)
+        # per-leaf Adam rates (the round-2 camera-study lesson writ
+        # small): sigma lives at 1e-3 scale, albedo at 1e-1 — one unit
+        # lr cannot serve both
+        import optax
+        from vpt.dist.train_fast import make_kernel_train_step
+        from vpt.kernels.diff import pack_params
+
+        labels = {"sigma_a": "sig", "sigma_s": "sig", "albedo": "alb",
+                  "radiance": "frozen"}
+        opt = optax.multi_transform(
+            {"sig": optax.adam(1.5e-3), "alb": optax.adam(3e-2),
+             "frozen": optax.set_to_zero()}, labels)
+        step = make_kernel_train_step(est, cam, W, H, spp_m, opt,
+                                      max_bounces=16, sampler="ld",
+                                      interpret=interp)
+        params = pack_params(est)
+        opt_state = opt.init(params)
+        tgt_flat = jnp.asarray(target.reshape(-1, 3), jnp.float32)
+        alb0 = params["albedo"]
+        for i in range(n_m):
+            params, opt_state, _ = step(params, opt_state, tgt_flat,
+                                        2000 * r + i)
+            # only THE sphere's albedo is unknown; walls stay pinned
+            params["albedo"] = alb0.at[SPHERE].set(
+                params["albedo"][SPHERE])
         est = dataclasses.replace(
             est,
             medium=dataclasses.replace(est.medium,

@@ -57,9 +57,10 @@ def main():
             base, medium=Medium(base.medium.sigma_a, base.medium.sigma_s,
                                 0.0, f))
 
-    def measure(scene, label):
+    def measure(scene, label, tile_rows=32):
         run = build_tile_renderer(scene, camera, W, H, spp, nee=True,
-                                  max_bounces=32, sampler="ld")
+                                  max_bounces=32, sampler="ld",
+                                  tile_rows=tile_rows)
 
         @jax.jit
         def reduced(s):
@@ -82,8 +83,12 @@ def main():
         return rate
 
     measure(base, "blobs_analytic_delta_tracking")
-    for n, m in ((16, 8), (16, 16), (16, 32), (32, 16), (32, 32)):
-        measure(grid_scene(n, m), f"grid_n{n}_march{m}")
+    # tile_rows shrinks with the march state: the fori body's live values
+    # scale with R * n_march and the scoped-vmem limit is 16MB (measured:
+    # n16/march32 at R=32 wants 32.1MB and the remote compile 500s)
+    for n, m, r in ((16, 8, 32), (16, 16, 32), (16, 32, 16),
+                    (32, 16, 16), (32, 32, 8)):
+        measure(grid_scene(n, m), f"grid_n{n}_march{m}_r{r}", tile_rows=r)
 
 
 if __name__ == "__main__":

@@ -413,6 +413,13 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                 phase = INV_4PI     # exact const: the reference's 1/4pi
             if sc["field"] is None:
                 tr_l = jnp.exp(-sigma_t * t)
+            elif sc["field"]["kind"] == "grid":
+                # tr is NOT applied here: the caller merges this shadow
+                # ray's tau march with the surface-NEE (pLight) march —
+                # the two are per-lane exclusive (medium vs shade), so
+                # ONE canonical march serves both (the march is the
+                # dominant grid-kernel cost)
+                tr_l = 1.0
             else:
                 tr_l = pr.field_tr_toward(sc["field"], sigma_t, xt, wl, t)
             # phase / cone_pdf = phase * 2pi * (1 - cos_max): no div
@@ -421,7 +428,7 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                           * (phase * pr.TWO_PI)
                           * jnp.maximum(1.0 - cos_max, 1e-12),
                           0.0)
-            return [lrad[i] * w for i in range(3)]
+            return [lrad[i] * w for i in range(3)], wl, t
 
         def bounce(rng, state):
             o, d, tp, L, alive, depth, samples, it = state
@@ -573,6 +580,7 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                 L[i] = L[i] + jnp.where(credit, add, 0.0)
             shade = alive & surface & ~em_hit
 
+            grid_merge = fc is not None and fc["kind"] == "grid"
             if nee:
                 ldp, dist_l = plight_term(at, xs, nrm, d, lc, lrad)
                 if fc is None:
@@ -580,11 +588,17 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                 else:
                     inv_dl = 1.0 / jnp.maximum(dist_l, 1e-20)
                     wlight = [(lc[i] - xs[i]) * inv_dl for i in range(3)]
-                    trs = pr.field_tr_toward(fc, sigma_t, xs, wlight, dist_l)
+                    if grid_merge:
+                        trs = None   # merged with the medium-NEE march
+                    else:
+                        trs = pr.field_tr_toward(fc, sigma_t, xs, wlight,
+                                                 dist_l)
                 ldm = mis_v2(rng, at, xs, nrm, d)
-                for i in range(3):
-                    ld = ldp[i] * (trs * n_em_f) + ldm[i]
-                    L[i] = L[i] + jnp.where(shade, ld * tp[i] * inv_cp, 0.0)
+                if not grid_merge:
+                    for i in range(3):
+                        ld = ldp[i] * (trs * n_em_f) + ldm[i]
+                        L[i] = L[i] + jnp.where(shade, ld * tp[i] * inv_cp,
+                                                0.0)
 
             fs, wi_s, pdf_b = pr.sample_bsdf(rng, at, d, nrm)
             cosine = pr.dot3(nrm, wi_s)
@@ -592,6 +606,19 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
             tp_surface = [tp[i] * fs[i] * wscale for i in range(3)]
 
             medium = alive & ~surface
+            if nee and grid_merge:
+                def merged_nee_tr(ld_geo, wl_nee, t_nee):
+                    """ONE canonical march attenuates both NEE shadow
+                    rays — shade lanes the pLight ray (xs -> light),
+                    medium lanes the cone sample (xt -> wl); the lanes
+                    are exclusive, the march is the dominant grid cost."""
+                    o_sel = pr.sel3(surface, xs, xt)
+                    d_sel = pr.sel3(surface, wlight, wl_nee)
+                    t_sel = jnp.where(surface, dist_l, t_nee)
+                    tr_sel = jnp.exp(-pr.grid_tau_nonneg(
+                        fc, sigma_t, o_sel, d_sel, t_sel))
+                    return ([ld_geo[i] * tr_sel for i in range(3)],
+                            tr_sel)
             u_p1, u_p2 = rng(), rng()
             if g_hg != 0.0:
                 # HG importance sampling: phase/pdf == 1, so every
@@ -604,7 +631,15 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                     # explicit free: transmittance/pdf cancel analytically
                     # (the PBRT simplification, vptShadeMethods.h:1248) —
                     # only sigma_s/sigma_t survives
-                    ld_med = medium_nee(rng, d, xt, lc, lrad, lr, lid)
+                    ld_med, wl_nee, t_nee = medium_nee(rng, d, xt, lc,
+                                                       lrad, lr, lid)
+                    if grid_merge:
+                        ld_med, tr_sel = merged_nee_tr(
+                            ld_med, wl_nee, t_nee)
+                        for i in range(3):
+                            ld = ldp[i] * (tr_sel * n_em_f) + ldm[i]
+                            L[i] = L[i] + jnp.where(
+                                shade, ld * tp[i] * inv_cp, 0.0)
                     med_c = n_em_f * albedo_ratio * inv_cp  # python const
                     for i in range(3):
                         L[i] = L[i] + jnp.where(
@@ -633,7 +668,15 @@ def build_tile_renderer(scene: Scene, camera, width: int, height: int,
                     # sigma_s(xt) = sigma_s * dens(xt)
                     w_med = w_med * pr.field_density(fc, xt)
                 if nee:
-                    ld_med = medium_nee(rng, d, xt, lc, lrad, lr, lid)
+                    ld_med, wl_nee, t_nee = medium_nee(rng, d, xt, lc,
+                                                       lrad, lr, lid)
+                    if grid_merge:
+                        ld_med, tr_sel = merged_nee_tr(
+                            ld_med, wl_nee, t_nee)
+                        for i in range(3):
+                            ld = ldp[i] * (tr_sel * n_em_f) + ldm[i]
+                            L[i] = L[i] + jnp.where(
+                                shade, ld * tp[i] * inv_cp, 0.0)
                     scale = w_med * n_em_f
                     for i in range(3):
                         L[i] = L[i] + jnp.where(
@@ -789,12 +832,22 @@ def render_pallas(scene: Scene, camera, cfg, seed: int | None = None,
                   interpret: bool = False):
     """Render with the fused Pallas kernel; returns (H, W, 3)."""
     nee, distance, physical = PALLAS_INTEGRATORS[cfg.integrator]
+    # grid fields: the march fori's live state scales with tile_rows *
+    # n_march and Mosaic's scoped-vmem limit is 16MB (n16/march32 at R=32
+    # measured 32.1MB -> compile OOM); shrink the tile for heavy marches
+    tile_rows = 32
+    fld = scene.medium.density
+    if fld is not None and fld.kind == "grid":
+        if fld.n_march >= 32:
+            tile_rows = 8 if min(fld.params.shape) >= 32 else 16
+        elif min(fld.params.shape) >= 32:
+            tile_rows = 16
     run = build_tile_renderer(
         scene, camera, cfg.width, cfg.height, cfg.spp,
         nee=nee, distance=distance, physical=physical,
         continue_prob=cfg.continue_prob, max_bounces=cfg.max_bounces,
         jitter=cfg.jitter, sampler=getattr(cfg, "sampler", "random"),
-        interpret=interpret,
+        tile_rows=tile_rows, interpret=interpret,
     )
     out = run(cfg.seed if seed is None else seed)
     return out.reshape(cfg.height, cfg.width, 3)
