@@ -367,12 +367,21 @@ def test_hetero_sigma_grads_match_crn_fd(make_scene, h, distance):
 
 def test_diff_hetero_guards():
     sc = foggy_cornell()
-    with pytest.raises(NotImplementedError, match="free-flight"):
-        make_diff_renderer(sc, CAM, W, H, SPP, distance="equiangular",
-                           diff_field=True, interpret=True)
+    # round 4: EA + diff_field is SUPPORTED (the Tr/T/pSuccess/dens(xt)
+    # dI/dtheta chains landed with the generic field-param mechanism)
+    r = make_diff_renderer(sc, CAM, W, H, SPP, distance="equiangular",
+                           diff_field=True, tile_rows=8, interpret=True)
+    g = jax.grad(lambda p, s: jnp.mean(r(p, s)))(
+        pack_params(sc, with_field=True), jnp.int32(3))
+    assert np.isfinite(float(g["fog_k"]))
     with pytest.raises(NotImplementedError, match="implicit"):
         make_diff_renderer(SCENE, CAM, W, H, SPP, nee=False, physical=False,
                            interpret=True)
+    with pytest.raises(NotImplementedError, match="blobs"):
+        make_diff_renderer(sc, CAM, W, H, SPP, diff_blobs=True,
+                           interpret=True)   # exp_height scene
+    with pytest.raises(ValueError, match="blobs"):
+        pack_params(sc, with_blobs=True)
 
 
 @pytest.mark.slow
@@ -501,3 +510,80 @@ def test_diff_grid_voxel_grads_match_crn_fd(grid_pair):
     tol = 4.0 * np.hypot(gse, fse) + 0.1 * max(abs(gm), abs(fm))
     assert np.isfinite([gm, fm]).all()
     assert abs(gm - fm) < tol, (vox, gm, gse, fm, fse)
+
+
+# ------------- traced blob parameters (diff_blobs, round 4) ----------------
+
+
+@pytest.fixture(scope="module")
+def render_blobs():
+    return make_diff_renderer(blob_cloud(), CAM, W, H, SPP, max_bounces=8,
+                              tile_rows=8, interpret=True, diff_blobs=True)
+
+
+def test_diff_blobs_fwd_matches_baked_kernel(render_blobs):
+    sc = blob_cloud()
+    img = np.asarray(render_blobs(pack_params(sc, with_blobs=True), 3))
+    ref = np.asarray(build_tile_renderer(sc, CAM, W, H, SPP, max_bounces=8,
+                                         tile_rows=8, interpret=True)(3))
+    assert np.isfinite(img).all()
+    assert np.abs(img - ref).max() < 1e-5 * max(1.0, np.abs(ref).max())
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("bi,ci,h", [
+    (0, 4, 0.05),    # blob weight
+    (0, 1, 0.5),     # center y
+    (1, 3, 0.3),     # radius
+])
+def test_blob_param_grads_match_crn_fd(render_blobs, bi, ci, h):
+    """dL/d(blob param) from the closed-form erf-pair derivatives
+    (prims.field_blob_tau_grads) + event scores agrees with CRN central
+    FD of the pair's own forward."""
+    pb = pack_params(blob_cloud(), with_blobs=True)
+    loss = jax.jit(lambda p, s: jnp.mean(render_blobs(p, s)))
+    gfn = jax.jit(jax.grad(lambda p, s: jnp.mean(render_blobs(p, s))))
+    K = 16
+    gs_, fds = [], []
+    for k in range(K):
+        s = jnp.int32(900 + k)
+        gs_.append(float(gfn(pb, s)["blobs"][bi, ci]))
+        pp = dict(pb)
+        pm = dict(pb)
+        pp["blobs"] = pb["blobs"].at[bi, ci].add(h)
+        pm["blobs"] = pb["blobs"].at[bi, ci].add(-h)
+        fds.append((float(loss(pp, s)) - float(loss(pm, s))) / (2 * h))
+    gm, gse = np.mean(gs_), np.std(gs_) / np.sqrt(K)
+    fm, fse = np.mean(fds), np.std(fds) / np.sqrt(K)
+    tol = 4.0 * np.hypot(gse, fse) + 0.1 * max(abs(gm), abs(fm))
+    assert np.isfinite([gm, fm]).all()
+    assert abs(gm - fm) < tol, (bi, ci, gm, gse, fm, fse)
+
+
+@pytest.mark.slow
+def test_fog_k_grad_matches_crn_fd_equiangular():
+    """Round 4: fog_k through the EQUI-ANGULAR family — the Bernoulli(Tr)
+    event scores and the t_xt / pSuccess / dens(xt) pathwise dI/dk chains
+    agree with CRN central FD."""
+    sc = foggy_cornell()
+    r = make_diff_renderer(sc, CAM, W, H, SPP, max_bounces=8, tile_rows=8,
+                           distance="equiangular", diff_field=True,
+                           interpret=True)
+    params = pack_params(sc, with_field=True)
+    loss = jax.jit(lambda p, s: jnp.mean(r(p, s)))
+    gfn = jax.jit(jax.grad(lambda p, s: jnp.mean(r(p, s))))
+    h, K = 5e-3, 16
+    gs_, fds = [], []
+    for k in range(K):
+        s = jnp.int32(3100 + k)
+        gs_.append(float(gfn(params, s)["fog_k"]))
+        pp = dict(params)
+        pm = dict(params)
+        pp["fog_k"] = params["fog_k"] + h
+        pm["fog_k"] = params["fog_k"] - h
+        fds.append((float(loss(pp, s)) - float(loss(pm, s))) / (2 * h))
+    gm, gse = np.mean(gs_), np.std(gs_) / np.sqrt(K)
+    fm, fse = np.mean(fds), np.std(fds) / np.sqrt(K)
+    tol = 4.0 * np.hypot(gse, fse) + 0.1 * max(abs(gm), abs(fm))
+    assert np.isfinite([gm, fm]).all()
+    assert abs(gm - fm) < tol, (gm, gse, fm, fse)

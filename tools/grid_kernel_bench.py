@@ -86,8 +86,14 @@ def main():
     # tile_rows shrinks with the march state: the fori body's live values
     # scale with R * n_march and the scoped-vmem limit is 16MB (measured:
     # n16/march32 at R=32 wants 32.1MB and the remote compile 500s)
-    for n, m, r in ((16, 8, 32), (16, 16, 32), (16, 32, 16),
-                    (32, 16, 16), (32, 32, 8)):
+    # n=16 at march 8/16 is the flagship envelope (matches the analytic
+    # render to 3-4 decimals at march8 already); march32 / 32^3 kernels
+    # compile into huge Mosaic programs (the unrolled C-chunk trilinear
+    # inside the march fori; C=256 at 32^3) with 25min+ remote compiles —
+    # the measured lookup-rate scaling (tools/grid_gather_study.py: 780M
+    # trilinear/s at 16^3 vs 229M at 32^3) extrapolates a 32^3 kernel to
+    # ~3-6M paths/s
+    for n, m, r in ((16, 8, 32), (16, 16, 32)):
         measure(grid_scene(n, m), f"grid_n{n}_march{m}_r{r}", tile_rows=r)
 
 

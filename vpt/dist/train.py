@@ -62,6 +62,17 @@ def project_params(params: dict) -> dict:
     for k, (lo, hi) in _DOMAIN.items():
         if k in out:
             out[k] = jnp.clip(out[k], lo, hi)
+    if "blobs" in out:
+        # (K, 5) [cx, cy, cz, r, w]: centers free; radius strictly
+        # positive (every term carries 1/r); weight non-negative
+        b = out["blobs"]
+        out["blobs"] = jnp.concatenate(
+            [b[:, :3], jnp.clip(b[:, 3:4], 1e-2, None),
+             jnp.clip(b[:, 4:5], 0.0, None)], axis=1)
+    if "grid" in out:
+        # voxel densities stay non-negative; the majorant cap is applied
+        # by grid-specific trainers (dist/tomography.py) which know it
+        out["grid"] = jnp.clip(out["grid"], 0.0, None)
     return out
 
 

@@ -36,6 +36,8 @@ def make_kernel_train_step(scene: Scene, camera, width: int, height: int,
                            tile_rows: int = 32, sampler: str = "random",
                            diff_g: bool = False,
                            diff_field: bool = False,
+                           diff_blobs: bool = False,
+                           diff_grid: bool = False,
                            interpret: bool = False):
     """Build step(params, opt_state, target_flat, seed) ->
     (params, opt_state, loss). `params` is the kernels.diff pytree
@@ -44,10 +46,13 @@ def make_kernel_train_step(scene: Scene, camera, width: int, height: int,
     diff_field — the exp_height fog falloff "fog_k" then trains jointly,
     kernels/diff.py); target_flat is (npix, 3). Geometry/camera are
     baked."""
+    if diff_grid:
+        tile_rows = 8       # the scatter one-hot needs R=8 (kernels/diff)
     render = make_diff_renderer(
         scene, camera, width, height, max(spp // 2, 1), distance=distance,
         max_bounces=max_bounces, tile_rows=tile_rows, sampler=sampler,
-        diff_g=diff_g, diff_field=diff_field, interpret=interpret)
+        diff_g=diff_g, diff_field=diff_field, diff_blobs=diff_blobs,
+        diff_grid=diff_grid, interpret=interpret)
 
     @jax.jit
     def step(params, opt_state, target_flat, seed):
@@ -569,22 +574,25 @@ def fit_kernel(scene: Scene, camera, target, *, steps: int = 100,
                spp: int = 16, learning_rate=1.5e-3, distance: str = "free",
                max_bounces: int = 32, sampler: str = "random",
                seed: int = 0, diff_g: bool = False,
-               diff_field: bool = False,
+               diff_field: bool = False, diff_blobs: bool = False,
                interpret: bool = False,
                param_filter=None, log_every: int = 0):
     """Recover {sigma_a, sigma_s, albedo, radiance} — plus the HG
     anisotropy g when diff_g=True, plus the exp_height fog falloff "fog_k"
-    when diff_field=True — from a target (H, W, 3) image with the
+    when diff_field=True, plus the Gaussian-blob field parameters "blobs"
+    (K, 5) when diff_blobs=True — from a target (H, W, 3) image with the
     fused kernel. `param_filter(updated, initial) -> params` can freeze
     leaves (e.g. keep everything but sigma_s fixed). Returns
     (params, losses)."""
     height, width = target.shape[:2]
     optimizer = optax.adam(learning_rate)
-    params = pack_params(scene, with_g=diff_g, with_field=diff_field)
+    params = pack_params(scene, with_g=diff_g, with_field=diff_field,
+                         with_blobs=diff_blobs)
     step = make_kernel_train_step(scene, camera, width, height, spp,
                                   optimizer, distance=distance,
                                   max_bounces=max_bounces, sampler=sampler,
                                   diff_g=diff_g, diff_field=diff_field,
+                                  diff_blobs=diff_blobs,
                                   interpret=interpret)
     return _fit_loop(step, params, optimizer, target, width, height, steps,
                      seed, param_filter, log_every)

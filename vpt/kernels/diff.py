@@ -70,7 +70,8 @@ __all__ = ["make_diff_renderer", "pack_params", "unpack_params"]
 
 
 def pack_params(scene: Scene, with_g: bool = False,
-                with_field: bool = False, with_grid: bool = False):
+                with_field: bool = False, with_grid: bool = False,
+                with_blobs: bool = False):
     """Differentiable parameter pytree from a scene. with_g adds the HG
     anisotropy as a traced leaf (pair with make_diff_renderer(diff_g=True));
     with_field adds the exp_height fog falloff k as "fog_k" (pair with
@@ -92,6 +93,12 @@ def pack_params(scene: Scene, with_g: bool = False,
             raise ValueError(
                 "with_field=True needs an exp_height Medium.density")
         p["fog_k"] = jnp.asarray(fld.params[0], jnp.float32)
+    if with_blobs:
+        fld = scene.medium.density
+        if fld is None or fld.kind != "blobs":
+            raise ValueError("with_blobs=True needs a blobs "
+                             "Medium.density")
+        p["blobs"] = jnp.asarray(fld.params, jnp.float32)
     if with_grid:
         fld = scene.medium.density
         if fld is None or fld.kind != "grid":
@@ -112,13 +119,17 @@ def _flatten(params, S):
         parts.append(jnp.reshape(params["g"], (1,)).astype(jnp.float32))
     if "fog_k" in params:
         parts.append(jnp.reshape(params["fog_k"], (1,)).astype(jnp.float32))
+    if "blobs" in params:
+        parts.append(jnp.reshape(params["blobs"], (-1,)).astype(jnp.float32))
     return jnp.concatenate(parts)
 
 
-def unpack_params(vec, S, *, with_g=None, with_field=False):
+def unpack_params(vec, S, *, with_g=None, with_field=False,
+                  n_blobs=0):
     """Packed gradient vector -> params pytree. with_g=None keeps the
     legacy inference (one extra slot = the traced-g layout) for callers
-    that never trace field params."""
+    that never trace field params. n_blobs > 0 unpacks a trailing
+    (n_blobs, 5) "blobs" block."""
     p = {
         "sigma_a": vec[0],
         "sigma_s": vec[1],
@@ -127,13 +138,16 @@ def unpack_params(vec, S, *, with_g=None, with_field=False):
     }
     n_extra = vec.shape[0] - (2 + 6 * S)
     if with_g is None:
-        with_g = (n_extra - (1 if with_field else 0)) >= 1
+        with_g = (n_extra - (1 if with_field else 0) - 5 * n_blobs) >= 1
     idx = 2 + 6 * S
     if with_g:
         p["g"] = vec[idx]
         idx += 1
     if with_field:
         p["fog_k"] = vec[idx]
+        idx += 1
+    if n_blobs:
+        p["blobs"] = vec[idx:idx + 5 * n_blobs].reshape(n_blobs, 5)
     return p
 
 
@@ -146,6 +160,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                        physical: bool = False,
                        diff_g: bool = False,
                        diff_field: bool = False,
+                       diff_blobs: bool = False,
                        diff_grid: bool = False,
                        interpret: bool = False):
     """Build render(params, seed:int) -> (npix, 3), reverse-differentiable
@@ -204,10 +219,13 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
             raise ValueError(
                 "diff_grid needs tile_rows=8 (the scatter one-hot is "
                 "(R*128, 128) f32 in VMEM; R=8 keeps it at 512KB)")
-    if diff_field and distance != "free":
+    if diff_blobs and (fc is None or fc["kind"] != "blobs"):
         raise NotImplementedError(
-            "diff_field (traced fog_k) is free-flight-only: the EA family's"
-            " Tr/T/pSuccess/dens(xt) factors would each need dI/dk chains")
+            "diff_blobs traces the Gaussian-blob parameters; the scene "
+            "needs Medium.density = blobs(...)")
+    if diff_field and diff_blobs:
+        raise ValueError("diff_field and diff_blobs are mutually "
+                         "exclusive (one field kind per scene)")
     if not nee and not physical:
         raise NotImplementedError(
             "the differentiable pair implements the explicit (NEE) and "
@@ -220,9 +238,15 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
             "needs Medium.density = exp_height(...) (blob/grid field "
             "parameters stay baked — use the engine or FD training)")
     S = len(sc["r"])
-    P = 2 + 6 * S + (1 if diff_g else 0) + (1 if diff_field else 0)
+    K_blob = len(fc["params"]) if (diff_blobs and fc is not None) else 0
+    # traced FIELD-parameter slots, one generic mechanism (round 4):
+    # diff_field -> 1 slot (exp_height fog_k); diff_blobs -> 5K slots
+    # (per-blob cx, cy, cz, r, w). Each slot gets a pathwise-immediate
+    # accumulator plus a deferred (A, B) event-score pair.
+    n_fp = (1 if diff_field else 0) + 5 * K_blob
+    P = 2 + 6 * S + (1 if diff_g else 0) + n_fp
     IG = 2 + 6 * S                      # packed index of g when diff_g
-    IK = 2 + 6 * S + (1 if diff_g else 0)   # packed index of fog_k
+    IK = 2 + 6 * S + (1 if diff_g else 0)   # first field-param slot
     # HG anisotropy, baked const when diff_g=False (scene value frozen like
     # the forward kernel; the phase VALUE in medium NEE and the HG scatter
     # direction are theta-independent, so every gradient family in the
@@ -287,6 +311,11 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 # the baked python const for the traced scalar reuses the
                 # exact forward formulas (prims.field_*)
                 fck = dict(fc, params=(params_ref[IK], fc["params"][1]))
+            elif diff_blobs:
+                # every blob parameter as a traced SMEM read
+                fck = dict(fc, params=tuple(
+                    tuple(params_ref[IK + 5 * b + j] for j in range(5))
+                    for b in range(K_blob)))
             elif grid_mode:
                 # voxel grid: bind the loaded VMEM table (values baked as
                 # an operand; sigma/albedo/radiance stay traced — the
@@ -295,6 +324,25 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 fck = dict(fc, tab=tab_ref[...])
             else:
                 fck = fc
+            # generic traced-field-param derivative hooks: fp_dI(o,d,t)
+            # -> n_fp arrays dI/dtheta of the optical path per unit
+            # sigma; fp_dlogdens(x) -> n_fp arrays dlog density/dtheta
+            if diff_field:
+                def fp_dI(o_, d_, t_):
+                    return [pr.field_tau_dk(fck, o_, d_, t_)]
+
+                def fp_dlogdens(x_):
+                    return [-(x_[1] - fc["params"][1])]
+            elif diff_blobs:
+                def fp_dI(o_, d_, t_):
+                    _, dI = pr.field_blob_tau_grads(fck["params"], o_, d_,
+                                                    t_)
+                    return [v for tup in dI for v in tup]
+
+                def fp_dlogdens(x_):
+                    dens_, dd = pr.field_blob_dens_grads(fck["params"], x_)
+                    inv = 1.0 / jnp.maximum(dens_, 1e-30)
+                    return [v * inv for tup in dd for v in tup]
             sigma_t = sa + ss
             inv_st = 1.0 / sigma_t
             albedo_ratio = ss * inv_st
@@ -388,7 +436,8 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 dsig = [z, z, z]
                 drad = {}
                 dalb = [z, z, z]
-                dk = [z, z, z]          # d/d(fog_k) of the light strategy
+                # d/d(field param) of the light strategy, per slot
+                dk = [[z, z, z] for _ in range(n_fp)]
                 scat = []               # diff_grid: per-light (w, wc, dist)
                 is_lam = (~at["is_mic"]) & (~at["is_die"])
                 for e in mis_lights:
@@ -431,11 +480,13 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                             w_sc_e = (wtp[0] * term[0] + wtp[1] * term[1]
                                       + wtp[2] * term[2])
                             scat.append((w_sc_e, wc, normcx))
-                        if diff_field:
-                            # d(tr)/dk = tr * (-sigma_t * dI/dk)
-                            dIk = pr.field_tau_dk(fck, xs, wc, normcx)
-                            for i in range(3):
-                                dk[i] += term[i] * (-sigma_t * dIk)
+                        if n_fp:
+                            # d(tr)/dtheta = tr * (-sigma_t * dI/dtheta)
+                            dIs = fp_dI(xs, wc, normcx)
+                            for f in range(n_fp):
+                                for i in range(3):
+                                    dk[f][i] += term[i] * (-sigma_t
+                                                           * dIs[f])
                 # BSDF strategy
                 u1, u2, u_choice = rng(), rng(), rng()
                 wi_l = pr.cosine_hemi(n, u1, u2)
@@ -535,20 +586,19 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                     phase = INV_4PI
                 # att: optical path per unit sigma_t toward the light (the
                 # plain distance when homogeneous) — callers use -att as
-                # the d/dsigma coefficient of this transmittance
+                # the d/dsigma coefficient of this transmittance; the
+                # field-param derivatives fp_dI(xt, wl, t) are computed
+                # by the caller (it has the returned wl/t)
                 if fc is None:
                     att = t
-                    datt_k = None
                 else:
                     att = pr.field_tau(fck, 1.0, xt, wl, t, nonneg=True)
-                    datt_k = (pr.field_tau_dk(fck, xt, wl, t)
-                              if (grads and diff_field) else None)
                 # phase / cone_pdf = phase * 2pi * (1 - cos_max): no div
                 w = jnp.where(visible,
                               jnp.exp(-sigma_t * att) * (phase * pr.TWO_PI)
                               * jnp.maximum(1.0 - cos_max, 1e-12), 0.0)
                 return ([lrad[i] * w for i in range(3)], w, att, dlogp,
-                        datt_k, wl, t)
+                        wl, t)
 
             # ------------- the persistent loop ---------------------------
             def loop_body(state):
@@ -655,8 +705,9 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                         t_det0 = jnp.where(hit, t, 0.0)
                         att_t = pr.field_tau(fck, 1.0, o, d, t_det0,
                                              nonneg=True)
-                        att_along = jnp.abs(
-                            pr.field_tau(fck, 1.0, o, d, d_along))
+                        I_along = pr.field_tau(fck, 1.0, o, d, d_along)
+                        att_along = jnp.abs(I_along)
+                        sign_I = jnp.where(I_along >= 0.0, 1.0, -1.0)
                     tr_act = jnp.where(hit, jnp.exp(-sigma_t * att_t), 0.0)
                     u_ev = rng()
                     surface = (u_ev <= tr_act) & hit
@@ -733,20 +784,36 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                                       w_sc / jnp.maximum(rho_pc, 1e-30),
                                       0.0),
                             acc["g_grid"])
-                    if diff_field:
-                        # fog-k score: dlog p(d)/dk = dlog dens(x_d)/dk
-                        # - sigma_t dI(d)/dk (medium) / dlog P(surf)/dk =
-                        # -sigma_t dI(t)/dk; for exp_height
-                        # dlog dens/dk = -(y_d - y0)
-                        y0c = fc["params"][1]
-                        dIk_s = pr.field_tau_dk(fck, o, d, t_det)
-                        dIk_m = pr.field_tau_dk(fck, o, d, d_det)
-                        logd_k = -(o[1] + d_det * d[1] - y0c)
-                        k_k = jnp.where(
-                            shade_pre, -sigma_t * dIk_s,
-                            jnp.where(medium, logd_k - sigma_t * dIk_m, 0.0))
-                        acc["A_k"] += k_k
-                        acc["B_k"] += k_k * wL0
+                    if n_fp and distance == "free":
+                        # field-param event scores: dlog p(d)/dtheta =
+                        # dlog dens(x_d)/dtheta - sigma dI(d)/dtheta
+                        # (medium) / dlog P(surf)/dtheta = -sigma
+                        # dI(t)/dtheta (surface)
+                        dI_s = fp_dI(o, d, t_det)
+                        dI_m = fp_dI(o, d, d_det)
+                        x_det = [o[j] + d_det * d[j] for j in range(3)]
+                        dlogd = fp_dlogdens(x_det)
+                        for f in range(n_fp):
+                            k_f = jnp.where(
+                                shade_pre, -sigma_t * dI_s[f],
+                                jnp.where(medium,
+                                          dlogd[f] - sigma_t * dI_m[f],
+                                          0.0))
+                            acc[f"A_fp_{f}"] += k_f
+                            acc[f"B_fp_{f}"] += k_f * wL0
+                    elif n_fp:
+                        # equi-angular Bernoulli(Tr) event scores:
+                        # dlog Tr/dtheta = -sigma dI(t); dlog(1-Tr)/
+                        # dtheta = sigma dI(t) Tr/(1-Tr)
+                        dI_t0 = fp_dI(o, d, t_det0)
+                        for f in range(n_fp):
+                            k_f = jnp.where(
+                                shade_pre, -sigma_t * dI_t0[f],
+                                jnp.where(medium & hit,
+                                          sigma_t * dI_t0[f] * tr_act
+                                          / one_m_tr, 0.0))
+                            acc[f"A_fp_{f}"] += k_f
+                            acc[f"B_fp_{f}"] += k_f * wL0
 
                 em_hit = surface & at["is_em"]
                 credit = (alive & em_hit & (depth == 0) if nee
@@ -804,16 +871,19 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                                 gpl += (wt_l[i] * ldp[i] * trs * inv_ps
                                         * tp[i] * inv_cp)
                             gpl = jnp.where(shade, gpl, 0.0)
-                        if diff_field:
-                            # immediate fog-k terms of the surface NEE trs
-                            # and the MIS light-strategy transmittances
-                            dIk_pl = pr.field_tau_dk(fck, xs, wlight, dist_ls)
-                            gk = z
-                            for i in range(3):
-                                gk += wt_l[i] * (
-                                    ldp[i] * trs * (-sigma_t * dIk_pl)
-                                    * inv_ps + misp["dk"][i]) * tp[i] * inv_cp
-                            acc["g_k"] += jnp.where(shade, gk, 0.0)
+                        if n_fp:
+                            # immediate field-param terms of the surface
+                            # NEE trs and the MIS light-strategy trs
+                            dI_pl = fp_dI(xs, wlight, dist_ls)
+                            for f in range(n_fp):
+                                gk = z
+                                for i in range(3):
+                                    gk += wt_l[i] * (
+                                        ldp[i] * trs
+                                        * (-sigma_t * dI_pl[f]) * inv_ps
+                                        + misp["dk"][f][i]) * tp[i] * inv_cp
+                                acc[f"g_fp_{f}"] += jnp.where(shade, gk,
+                                                              0.0)
                         # radiance: pLight (picked light) + MIS light strat
                         for e in emitters:
                             m = shade & (lid == e)
@@ -869,8 +939,24 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                         # sigma-independent so med_dsig is unchanged in form
                         med_scale = med_scale * pr.field_density(fck, xt)
                     med_dsig = -att_along - att_t * tr_act / one_m_tr
+                    if n_fp:
+                        # EA medium value factors: t_xt = e^{-sigma|I|}
+                        # (dlog = -sigma sign(I) dI(d_along)), the
+                        # 1/pSuccess chain (-sigma dI(t) Tr/(1-Tr)), and
+                        # sigma_s(xt) = sigma_s dens(xt) (+dlog dens)
+                        d_along_g = jnp.where(medium, d_along, 0.0)
+                        xt_g2 = [jnp.where(medium, xt[j], 0.0)
+                                 for j in range(3)]
+                        dI_along = fp_dI(o, d, d_along_g)
+                        dI_tb = fp_dI(o, d, t_det0)
+                        dlogd_xt = fp_dlogdens(xt_g2)
+                        med_dfp = [
+                            -sigma_t * sign_I * dI_along[f]
+                            - sigma_t * dI_tb[f] * tr_act / one_m_tr
+                            + dlogd_xt[f]
+                            for f in range(n_fp)]
                 if nee:
-                    (ld_med, w_med, att_nee, dlogp_nee, datt_k, wl_nee,
+                    (ld_med, w_med, att_nee, dlogp_nee, wl_nee,
                      t_nee) = medium_nee(rng, d, xt, lc, lrad, lr, lid)
                     adds = [jnp.where(medium,
                                       ld_med[i] * inv_ps * tp[i] * med_scale,
@@ -906,14 +992,19 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                                     fck, xs, wc_e,
                                     jnp.where(shade, -sigma_t * w_e, 0.0),
                                     dist_e, z, z, acc["g_grid"])
-                        if diff_field:
-                            # immediate fog-k term of the medium-NEE
-                            # transmittance (med_scale is k-independent:
-                            # the PBRT cancellation removes the density).
-                            # Gate on medium: escaped lanes put xt at BIG
-                            # where dI/dk overflows f32 — 0 * inf = NaN
-                            acc["g_k"] += jnp.where(
-                                medium, gx * (-sigma_t * datt_k), 0.0)
+                        if n_fp:
+                            # immediate field-param term of the medium-NEE
+                            # transmittance. Gate the INPUT distance on
+                            # medium: escaped lanes put xt at BIG where
+                            # dI/dtheta overflows f32 (0 * inf = NaN)
+                            t_nee_g = jnp.where(medium, t_nee, 0.0)
+                            xt_g = [jnp.where(medium, xt[j], 0.0)
+                                    for j in range(3)]
+                            dI_nee = fp_dI(xt_g, wl_nee, t_nee_g)
+                            for f in range(n_fp):
+                                acc[f"g_fp_{f}"] += jnp.where(
+                                    medium, gx * (-sigma_t * dI_nee[f]),
+                                    0.0)
                         if diff_g:
                             # pathwise dL/dg of this bounce's NEE value:
                             # adds carries the phase(cos_nee | g) factor
@@ -936,6 +1027,12 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                     acc["B_st"] += k_med_st * wL1
                     acc["A_ssx"] += k_med_ssx
                     acc["B_ssx"] += k_med_ssx * wL1
+                    if n_fp and distance != "free":
+                        # deferred EA medium-factor field-param terms
+                        for f in range(n_fp):
+                            k_f = jnp.where(medium, med_dfp[f], 0.0)
+                            acc[f"A_fp_{f}"] += k_f
+                            acc[f"B_fp_{f}"] += k_f * wL1
                     if diff_g:
                         # phase-draw score d/dg log p(cos|g): the sampled
                         # direction is detached, the draw's g-dependence
@@ -996,11 +1093,14 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                             finished, acc["A_g"] * WL - acc["B_g"], 0.0)
                         acc["A_g"] = jnp.where(finished, 0.0, acc["A_g"])
                         acc["B_g"] = jnp.where(finished, 0.0, acc["B_g"])
-                    if diff_field:
-                        acc["g_k"] += jnp.where(
-                            finished, acc["A_k"] * WL - acc["B_k"], 0.0)
-                        acc["A_k"] = jnp.where(finished, 0.0, acc["A_k"])
-                        acc["B_k"] = jnp.where(finished, 0.0, acc["B_k"])
+                    for f in range(n_fp):
+                        acc[f"g_fp_{f}"] += jnp.where(
+                            finished,
+                            acc[f"A_fp_{f}"] * WL - acc[f"B_fp_{f}"], 0.0)
+                        acc[f"A_fp_{f}"] = jnp.where(finished, 0.0,
+                                                     acc[f"A_fp_{f}"])
+                        acc[f"B_fp_{f}"] = jnp.where(finished, 0.0,
+                                                     acc[f"B_fp_{f}"])
                     for s in lam_ids:
                         for i in range(3):
                             a = acc[f"A_alb_{s}_{i}"]
@@ -1031,8 +1131,9 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                     acc["wLtot"] = z
                 if diff_g:
                     acc.update({"g_g": z, "A_g": z, "B_g": z})
-                if diff_field:
-                    acc.update({"g_k": z, "A_k": z, "B_k": z})
+                for f in range(n_fp):
+                    acc.update({f"g_fp_{f}": z, f"A_fp_{f}": z,
+                                f"B_fp_{f}": z})
                 for e in emitters:
                     for i in range(3):
                         acc[f"g_rad_{e}_{i}"] = z
@@ -1069,8 +1170,8 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
             g_ssx = acc["g_ssx"] + acc["A_ssx"] * wt_sum - acc["B_ssx"]
             if diff_g:
                 g_g = acc["g_g"] + acc["A_g"] * wt_sum - acc["B_g"]
-            if diff_field:
-                g_k = acc["g_k"] + acc["A_k"] * wt_sum - acc["B_k"]
+            g_fp = [acc[f"g_fp_{f}"] + acc[f"A_fp_{f}"] * wt_sum
+                    - acc[f"B_fp_{f}"] for f in range(n_fp)]
             for s in lam_ids:
                 for i in range(3):
                     acc[f"g_alb_{s}_{i}"] += (acc[f"A_alb_{s}_{i}"] * Lps[i]
@@ -1079,8 +1180,8 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
             vals = {0: jnp.sum(g_st), 1: jnp.sum(g_st) + jnp.sum(g_ssx)}
             if diff_g:
                 vals[IG] = jnp.sum(g_g)
-            if diff_field:
-                vals[IK] = jnp.sum(g_k)
+            for f in range(n_fp):
+                vals[IK + f] = jnp.sum(g_fp[f])
             for s in alb_ids:
                 for i in range(3):
                     vals[2 + 3 * s + i] = jnp.sum(acc[f"g_alb_{s}_{i}"])
@@ -1192,6 +1293,10 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
             raise ValueError(
                 "params must contain a 'fog_k' leaf iff diff_field=True — "
                 "build them with pack_params(scene, with_field=diff_field)")
+        if ("blobs" in params) != diff_blobs:
+            raise ValueError(
+                "params must contain a 'blobs' leaf iff diff_blobs=True — "
+                "build them with pack_params(scene, with_blobs=diff_blobs)")
         if ("grid" in params) != diff_grid:
             raise ValueError(
                 "params must contain a 'grid' leaf iff diff_grid=True — "
@@ -1224,12 +1329,12 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
         if diff_grid:
             gvec, ggrid = run_bwd(pvec, seed, gbar, *tab)
             grads = unpack_params(gvec, S, with_g=diff_g,
-                                  with_field=diff_field)
+                                  with_field=diff_field, n_blobs=K_blob)
             grads["grid"] = ggrid
             return grads, seed_ct
         gvec = run_bwd(pvec, seed, gbar, *tab)
-        return unpack_params(gvec, S, with_g=diff_g,
-                             with_field=diff_field), seed_ct
+        return unpack_params(gvec, S, with_g=diff_g, with_field=diff_field,
+                             n_blobs=K_blob), seed_ct
 
     render.defvjp(render_fwd, render_bwd)
 
@@ -1309,7 +1414,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
             gvec = bwd_shard(pvec, seed, base_pixel, gbar)
             f0 = lambda x: np.zeros(np.shape(x), jax.dtypes.float0)
             return (unpack_params(gvec, S, with_g=diff_g,
-                                  with_field=diff_field),
+                                  with_field=diff_field, n_blobs=K_blob),
                     f0(seed), f0(base_pixel))
 
         render_shard.defvjp(rs_fwd, rs_bwd)

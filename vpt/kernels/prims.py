@@ -905,6 +905,68 @@ def field_tau_dk(fc, o, d, t):
     return jnp.where(const, lim, gen)
 
 
+_TWO_OVER_SQRTPI = 1.1283791670955126
+
+
+def field_blob_tau_grads(params, o, d, t):
+    """(I, dI) of the blobs optical path per unit sigma along unit d:
+    I = sum_i w_i amp_i (erf_hi + erf_lo); dI = per-blob 5-tuples
+    (d/dcx, d/dcy, d/dcz, d/dr, d/dw) of lane arrays — the closed-form
+    parameter derivatives of the erf-pair line integral (media/density.
+    optical_depth BLOBS), shared-subexpression form so the traced-blob
+    diff kernel pays ~2x one tau evaluation. `params`: tuples of traced
+    scalars ((cx, cy, cz, r, w), ...)."""
+    I = None
+    dI = []
+    for (cx, cy, cz, r, w) in params:
+        oc = [cx - o[0], cy - o[1], cz - o[2]]
+        a = dot3(oc, d)
+        b2 = jnp.maximum(dot3(oc, oc) - a * a, 0.0)
+        inv_r = 1.0 / r
+        g = jnp.exp(-0.5 * b2 * (inv_r * inv_r))
+        amp = g * (r * _SQRT_HALF_PI)
+        k = inv_r * _SQRT_HALF
+        xh = (t - a) * k
+        xl = a * k
+        hi = erf_poly(xh)
+        lo = erf_poly(xl)
+        S = hi + lo
+        Ii = w * amp * S
+        I = Ii if I is None else I + Ii
+        dphi_h = _TWO_OVER_SQRTPI * jnp.exp(-xh * xh)    # erf'(xh)
+        dphi_l = _TWO_OVER_SQRTPI * jnp.exp(-xl * xl)
+        dcs = []
+        for j in range(3):
+            db2 = 2.0 * oc[j] - 2.0 * a * d[j]
+            damp = amp * (-0.5 * inv_r * inv_r) * db2
+            dhi = -d[j] * k * dphi_h
+            dlo = d[j] * k * dphi_l
+            dcs.append(w * (damp * S + amp * (dhi + dlo)))
+        dr = w * (amp * (inv_r + b2 * inv_r * inv_r * inv_r) * S
+                  + amp * (dphi_h * (-xh * inv_r)
+                           + dphi_l * (-xl * inv_r)))
+        dw = amp * S
+        dI.append((dcs[0], dcs[1], dcs[2], dr, dw))
+    return I, dI
+
+
+def field_blob_dens_grads(params, x):
+    """(dens, ddens) of the blobs density at x: per-blob 5-tuples of
+    parameter derivatives (for the event-score dlog dens/dtheta)."""
+    dens = None
+    dd = []
+    for (cx, cy, cz, r, w) in params:
+        dx = [x[0] - cx, x[1] - cy, x[2] - cz]
+        q2 = dot3(dx, dx)
+        inv_r2 = 1.0 / (r * r)
+        e = jnp.exp(-0.5 * q2 * inv_r2)
+        dens = w * e if dens is None else dens + w * e
+        dd.append((w * e * (dx[0] * inv_r2), w * e * (dx[1] * inv_r2),
+                   w * e * (dx[2] * inv_r2),
+                   w * e * (q2 * inv_r2 / r), e))
+    return dens, dd
+
+
 def field_tr_toward(fc, sigma_t, x, target_dir, dist):
     """exp(-tau) from x along unit target_dir for dist — the heterogeneous
     replacement for exp(-sigma_t * dist) in NEE/MIS factors."""
