@@ -10,12 +10,14 @@ Setup: the `blob_cloud` scene's analytic smoke is rasterized onto an
 n^3 grid (the "truth"), rendered from V=3 cameras; optimization starts
 from a uniform fog box and descends the multi-view A/B-MSE.
 
-    python examples/recover_grid.py                 # n=8, quick
-    python examples/recover_grid.py --n 12 --steps 200 --spp 8
+    python examples/recover_grid.py                 # kernel path, n=16
+    python examples/recover_grid.py --backend engine --n 8 --res 24
 
-Engine-path only: grids can't run in the fused kernels (per-lane gathers
-don't exist on the VPU — media/density.grid docstring), so expect engine
-speeds. On one v5e chip the default config fits in ~a minute.
+Round 4: the fused Pallas kernels learned voxel grids (chunked
+lane-gather trilinear forward; two-phase-replay backward whose voxel
+scatter-add runs as MXU one-hot matmuls — BASELINE.md round-4 grid
+study), so the default backend is now "kernel" at 4.8M paths/s fwd+bwd
+— ~16x the engine path — with targets rendered by the forward kernel.
 """
 import argparse
 import dataclasses
@@ -27,13 +29,19 @@ sys.path.insert(0, ".")
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=8, help="grid resolution n^3")
-    ap.add_argument("--steps", type=int, default=80)
-    ap.add_argument("--spp", type=int, default=4,
+    ap.add_argument("--n", type=int, default=16, help="grid resolution n^3")
+    ap.add_argument("--steps", type=int, default=150)
+    ap.add_argument("--spp", type=int, default=8,
                     help="per-render spp (each step renders 2 per view)")
-    ap.add_argument("--res", type=int, default=24, help="target width")
+    ap.add_argument("--res", type=int, default=128, help="target width")
     ap.add_argument("--target-spp", type=int, default=64)
     ap.add_argument("--lr", type=float, default=3e-2)
+    ap.add_argument("--backend", choices=("kernel", "engine"),
+                    default="kernel")
+    ap.add_argument("--views", type=int, default=6)
+    ap.add_argument("--reg-l1", type=float, default=2e-3,
+                    help="L1 sparsity prior (see dist/tomography.py: "
+                         "zero-signal voxels random-walk without it)")
     args = ap.parse_args()
 
     import numpy as np
@@ -71,12 +79,20 @@ def main():
 
     cams = [vpt.default_camera(),
             cam_mod.look_at((150, 30, 170), (0, 0, 170)),
-            cam_mod.look_at((-140, -20, 175), (0, 0, 170))]
+            cam_mod.look_at((-140, -20, 175), (0, 0, 170)),
+            cam_mod.look_at((80, 90, 120), (0, 0, 170)),
+            cam_mod.look_at((-90, 70, 240), (0, 0, 170)),
+            cam_mod.look_at((40, -60, 100), (0, 0, 170))][:args.views]
 
     spec = engine.IntegratorSpec(max_bounces=8)
     ids = jnp.arange(W * H, dtype=jnp.int32)
 
     def render(scene, camera, seed, spp):
+        if args.backend == "kernel":
+            from vpt.kernels.wavefront import build_tile_renderer
+            run = build_tile_renderer(scene, camera, W, H, spp,
+                                      max_bounces=8, sampler="ld")
+            return np.asarray(run(seed)).reshape(H, W, 3)
         key = jax.random.PRNGKey(seed)
 
         def one(acc, s):
@@ -99,6 +115,7 @@ def main():
     rec, losses = fit_grid(with_field(init), cams, targets,
                            steps=args.steps, spp=args.spp,
                            learning_rate=args.lr, max_bounces=8, seed=7,
+                           backend=args.backend, reg_l1=args.reg_l1,
                            log_every=max(args.steps // 10, 1))
     dt = time.time() - t0
 

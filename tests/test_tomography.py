@@ -174,3 +174,37 @@ def test_fit_grid_decreases_loss(tomo8):
     assert np.isfinite(v).all() and v.min() >= 0.0
     first, last = np.mean(losses[:5]), np.mean(losses[-5:])
     assert last < first, f"loss did not decrease: {first:.5f} -> {last:.5f}"
+
+
+@pytest.mark.slow
+def test_grid_train_step_kernel_backend_runs_and_projects():
+    """Round 4: the same trainer through the fused diff pair
+    (backend="kernel", diff_grid voxel gradients) — interpret mode on the
+    tiny config. Pins the A/B wiring, the int-seed path, and the
+    majorant projection on the kernel backend."""
+    n = 4
+    truth = _truth_values(n)
+    maj = float(truth.max()) * 1.3
+    cams = _cams(2)
+    targets = [_render(_grid_scene(truth, maj, n), c,
+                       jax.random.PRNGKey(7 + i), spp=2)
+               for i, c in enumerate(cams)]
+    init = np.full((n, n, n), 0.3, np.float32)
+    scene = _grid_scene(init, maj, n)
+    opt = optax.adam(5e-2)
+    step = make_grid_train_step(scene, cams, W, H, spp=1, optimizer=opt,
+                                max_bounces=3, backend="kernel",
+                                interpret=True)
+    tf = jnp.stack([jnp.asarray(t, jnp.float32).reshape(W * H, 3)
+                    for t in targets])
+    values = jnp.asarray(init)
+    opt_state = opt.init(values)
+    for i in range(2):
+        values, opt_state, loss = step(values, opt_state, tf, None,
+                                       jnp.int32(i))
+        assert np.isfinite(float(loss))
+    v = np.asarray(values)
+    assert np.isfinite(v).all()
+    assert v.min() >= 0.0 and v.max() <= maj / 1.001 + 1e-6
+    # the step must actually move the voxels (gradients reach the table)
+    assert np.abs(v - init).max() > 0

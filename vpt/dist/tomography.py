@@ -6,10 +6,12 @@ reference's medium-coefficient estimators (src/rt.cpp:794) point toward
 but cannot express (its medium is a single homogeneous (sigma_a, sigma_s)
 pair; here the unknown is the whole density field).
 
-Grids are engine-only by hardware necessity (per-lane table gathers are
-the one access pattern the VPU tiles can't do — Mosaic's
-`tpu.dynamic_gather` is limited to one 8-sublane vreg, measured in
-round 3), so this trains through `engine.trace` with
+Two backends (round 4): `backend="kernel"` trains through the fused
+Pallas diff pair (kernels/diff diff_grid=True — chunked lane-gather
+trilinear forward, two-phase replay backward with the voxel scatter-add
+as MXU one-hot matmuls; 4.8M paths/s fwd+bwd on one v5e chip, ~16x the
+engine path — BASELINE.md round-4 grid study). The default
+`backend="engine"` trains through `engine.trace` with
 `IntegratorSpec(sigma_score=True)`: sampled distances/events are detached
 and re-weighted by their accumulated log-densities, which makes the voxel
 gradients unbiased under plain `jax.grad` UP TO the grid's marched-
@@ -53,19 +55,70 @@ def _grid_scene(scene: Scene, values: jnp.ndarray) -> Scene:
 
 def make_grid_train_step(scene: Scene, cameras, width: int, height: int,
                          spp: int, optimizer: optax.GradientTransformation,
-                         *, max_bounces: int = 8):
+                         *, max_bounces: int = 8, backend: str = "engine",
+                         sampler: str = "ld", reg_l1: float = 0.0,
+                         interpret: bool = False):
     """step(values, opt_state, targets_flat, weights, key) ->
     (values, opt_state, loss).
 
     values: (nx, ny, nz) voxel densities (the optimized pytree).
     targets_flat: (V, width*height, 3); weights: None or (V, npix, 1).
     spp is the PER-RENDER sample count (each step renders 2 per view).
+
+    backend="kernel" trains through the fused Pallas diff pair
+    (kernels/diff diff_grid=True: two-phase replay backward + MXU one-hot
+    scatter — round 4) at ~16x the engine-AD throughput; `key` is then an
+    int32 seed, not a PRNGKey. backend="engine" is the general AD path.
+
+    reg_l1 adds an L1 sparsity prior lam * mean(v): tomography from few
+    views is under-determined, and voxels whose gradient is pure noise
+    RANDOM-WALK under Adam's per-coordinate normalization (measured: the
+    unregularized n=16 fit descends the photometric loss 15x while voxel
+    MAE worsens); the L1 pull drives zero-signal voxels to the empty-
+    space floor instead, the standard compressed-sensing prior.
     """
     if scene.medium.density is None or scene.medium.density.kind != "grid":
         raise ValueError("make_grid_train_step needs a voxel-grid scene "
                          "(scene.medium.density.kind == 'grid')")
     V = len(cameras)
     vmax = float(scene.medium.density.majorant) / 1.001
+
+    if backend == "kernel":
+        from vpt.kernels.diff import make_diff_renderer, pack_params
+        renders = [
+            make_diff_renderer(scene, c, width, height, spp,
+                               max_bounces=max_bounces, tile_rows=8,
+                               sampler=sampler, diff_grid=True,
+                               interpret=interpret)
+            for c in cameras
+        ]
+        base = pack_params(scene, with_grid=True)
+
+        @jax.jit
+        def kstep(values, opt_state, targets_flat, weights, seed):
+            def loss_fn(v):
+                p = dict(base)
+                p["grid"] = v
+                tot = 0.0
+                for i, render in enumerate(renders):
+                    a = render(p, seed * 2 * V + 2 * i)
+                    b = render(p, seed * 2 * V + 2 * i + 1)
+                    e = (a - targets_flat[i]) * (b - targets_flat[i])
+                    if weights is not None:
+                        e = e * weights[i]
+                    tot = tot + jnp.mean(e)
+                return tot / V + reg_l1 * jnp.mean(jnp.abs(v))
+
+            loss, grads = jax.value_and_grad(loss_fn)(values)
+            updates, opt_state = optimizer.update(grads, opt_state, values)
+            values = optax.apply_updates(values, updates)
+            values = jnp.clip(values, 0.0, vmax)
+            return values, opt_state, loss
+
+        return kstep
+    if backend != "engine":
+        raise ValueError(f"unknown backend {backend!r}")
+
     spec = engine.IntegratorSpec(max_bounces=max_bounces, sigma_score=True)
     ids = jnp.arange(width * height, dtype=jnp.int32)
 
@@ -95,7 +148,7 @@ def make_grid_train_step(scene: Scene, cameras, width: int, height: int,
                 if weights is not None:
                     e = e * weights[i]
                 tot = tot + jnp.mean(e)
-            return tot / V
+            return tot / V + reg_l1 * jnp.mean(jnp.abs(v))
 
         loss, grads = jax.value_and_grad(loss_fn)(values)
         updates, opt_state = optimizer.update(grads, opt_state, values)
@@ -111,18 +164,23 @@ def make_grid_train_step(scene: Scene, cameras, width: int, height: int,
 def fit_grid(scene: Scene, cameras, targets, *, steps: int = 100,
              spp: int = 4, learning_rate=2e-2, max_bounces: int = 8,
              seed: int = 0, relmse_weights: bool = True,
-             relmse_eps: float = 0.05, log_every: int = 0):
+             relmse_eps: float = 0.05, log_every: int = 0,
+             backend: str = "engine", sampler: str = "ld",
+             reg_l1: float = 0.0, interpret: bool = False):
     """Recover scene.medium.density.params (voxel values) from V target
     views. scene carries the INITIAL grid (its shape/origin/spacing/
     majorant are the reconstruction's fixed geometry — majorant bounds
     every iterate, so size it for the densities you expect to recover,
-    not the initial guess). Returns (values, losses)."""
+    not the initial guess). backend="kernel" runs the fused diff pair
+    (fast path). Returns (values, losses)."""
     if len(cameras) != len(targets):
         raise ValueError("one target image per camera")
     height, width = np.asarray(targets[0]).shape[:2]
     optimizer = optax.adam(learning_rate)
     step = make_grid_train_step(scene, cameras, width, height, spp,
-                                optimizer, max_bounces=max_bounces)
+                                optimizer, max_bounces=max_bounces,
+                                backend=backend, sampler=sampler,
+                                reg_l1=reg_l1, interpret=interpret)
     targets_flat = jnp.stack([
         jnp.asarray(t, jnp.float32).reshape(width * height, 3)
         for t in targets
@@ -134,9 +192,10 @@ def fit_grid(scene: Scene, cameras, targets, *, steps: int = 100,
     opt_state = optimizer.init(values)
     losses = []
     for i in range(steps):
+        k = (jnp.int32(seed + i) if backend == "kernel"
+             else jax.random.PRNGKey(seed + i))
         values, opt_state, loss = step(values, opt_state, targets_flat,
-                                       weights,
-                                       jax.random.PRNGKey(seed + i))
+                                       weights, k)
         losses.append(float(loss))
         if log_every and i % log_every == 0:
             print(f"step {i:4d}  loss {losses[-1]:.6g}")
