@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--backend", choices=("kernel", "engine"),
                     default="kernel")
     ap.add_argument("--views", type=int, default=6)
+    ap.add_argument("--init", type=float, default=0.05,
+                    help="uniform initial density (low + L1: empty space "
+                         "stays empty, the cloud grows where photons say)")
     ap.add_argument("--reg-l1", type=float, default=2e-3,
                     help="L1 sparsity prior (see dist/tomography.py: "
                          "zero-signal voxels random-walk without it)")
@@ -109,7 +112,7 @@ def main():
     targets = [render(truth_scene, c, 100 + i, args.target_spp)
                for i, c in enumerate(cams)]
 
-    init = np.full((n, n, n), 0.3, np.float32)
+    init = np.full((n, n, n), args.init, np.float32)
     print(f"fitting: {args.steps} steps, {args.spp}spp/render, lr={args.lr}")
     t0 = time.time()
     rec, losses = fit_grid(with_field(init), cams, targets,

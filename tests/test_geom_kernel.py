@@ -116,6 +116,40 @@ def test_tangent_matches_fixed_seed_fd_camera(render_cam, k, block, index,
     assert np.isclose(g, fd, rtol=8e-2, atol=1e-6), (g, fd)
 
 
+@pytest.fixture(scope="module")
+def render_dir():
+    """K=3: camera LOOK-DIRECTION block only (round 4), boundary-free
+    medium scene."""
+    return make_geom_renderer(MEDIUM_SCENE, CAM, W, H, SPP, sphere=None,
+                              cam_grads=False, dir_grads=True,
+                              max_bounces=MB, tile_rows=8, interpret=True)
+
+
+@pytest.mark.parametrize("k,index,eps", [(0, 0, 2e-3), (1, 1, 2e-3)])
+def test_tangent_matches_fixed_seed_fd_cam_dir(render_dir, k, index, eps):
+    """Round 4: look-direction tangents (theta[\"cam_dir\"], dims 9-11)
+    are the fixed-seed directional derivatives of the kernel's own
+    primal — the dual chain through cy = normalize(cx x d) and the ray
+    sum matches CRN central FD on the raw direction components."""
+    theta_m = pack_theta(MEDIUM_SCENE, CAM, None)
+    g, fd = _fd(render_dir, theta_m, "cam_dir", index, eps, k)
+    assert np.isfinite(g) and np.isfinite(fd)
+    assert np.isclose(g, fd, rtol=8e-2, atol=1e-6), (g, fd)
+
+
+def test_dir_grad_render_contracts_tangents(render_dir):
+    """grad_render routes the cam_dir block; disabled blocks stay zero."""
+    theta_m = pack_theta(MEDIUM_SCENE, CAM, None)
+    g = jax.grad(
+        lambda th: jnp.mean(render_dir.grad_render(th, SEED)))(theta_m)
+    img, tang = render_dir(theta_m, SEED)
+    want = np.asarray(jnp.sum(tang, axis=(1, 2)) / (3.0 * W * H))
+    assert np.allclose(np.asarray(g["cam_dir"]), want, rtol=1e-5,
+                       atol=1e-8), (g["cam_dir"], want)
+    assert np.all(np.asarray(g["cam_origin"]) == 0.0)
+    assert float(g["fov"]) == 0.0
+
+
 def test_grad_render_contracts_tangents(render_light):
     """grad_render's custom VJP = tangent contraction with the cotangent."""
     g = jax.grad(

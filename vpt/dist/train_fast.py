@@ -141,18 +141,21 @@ def make_sharded_kernel_train_step(scene: Scene, camera, width: int,
 def make_geom_train_step(scene: Scene, camera, width: int, height: int,
                          spp: int, optimizer: optax.GradientTransformation,
                          *, sphere: int | None, cam_grads: bool = True,
+                         dir_grads: bool = False,
                          distance: str = "free", max_bounces: int = 32,
                          tile_rows: int = 8, interpret: bool = False):
     """Geometric inverse rendering at kernel speed: optimize a sphere
-    (light) center and/or the camera origin+fov through the forward-mode
-    dual kernel (kernels/geom.py). Same A/B unbiased MSE as the other
-    steps; theta is the kernels.geom pytree (pack_theta).
+    (light) center and/or the full camera pose (origin+fov, look
+    direction with dir_grads=True) through the forward-mode dual kernel
+    (kernels/geom.py). Same A/B unbiased MSE as the other steps; theta is
+    the kernels.geom pytree (pack_theta).
 
     step(theta, opt_state, target_flat, seed) -> (theta, opt_state, loss).
     """
     render = make_geom_renderer(
         scene, camera, width, height, max(spp // 2, 1), sphere=sphere,
-        cam_grads=cam_grads, distance=distance, max_bounces=max_bounces,
+        cam_grads=cam_grads, dir_grads=dir_grads, distance=distance,
+        max_bounces=max_bounces,
         tile_rows=tile_rows, interpret=interpret)
     gr = render.grad_render
 
@@ -190,10 +193,11 @@ def _fit_loop(step, params, optimizer, target, width, height, steps, seed,
     return params, losses
 
 
-def _fd_dims(sphere, cam_grads, sigma):
+def _fd_dims(sphere, cam_grads, sigma, dir_grads=False):
     dims = (([0, 1, 2] if sphere is not None else [])
             + ([3, 4, 5, 6] if cam_grads else [])
-            + ([7, 8] if sigma else []))
+            + ([7, 8] if sigma else [])
+            + ([9, 10, 11] if dir_grads else []))
     if not dims:
         raise ValueError("no differentiated block enabled")
     return dims
@@ -205,15 +209,18 @@ def _phys_probe(v):
     probe theta - h_sigma can still cross zero and render a negative
     extinction (negative free-flight distances, garbage secant). At the
     floor this makes lp == lm => zero gradient: the correct projected-GD
-    boundary behavior."""
-    return v.at[7:].set(jnp.maximum(v[7:], 1e-6))
+    boundary behavior. (Only dims 7-8: the cam_dir block at 9-11 is
+    unconstrained.)"""
+    return v.at[7:9].set(jnp.maximum(v[7:9], 1e-6))
 
 
 def make_fd_geom_train_step(scene: Scene, camera, width: int, height: int,
                             spp: int, optimizer, *, sphere: int | None,
                             cam_grads: bool = True, sigma: bool = False,
+                            dir_grads: bool = False,
                             h: float = 0.5, h_fov: float = 2e-3,
-                            h_sigma: float = 5e-4, distance: str = "free",
+                            h_sigma: float = 5e-4, h_dir: float = 1e-3,
+                            distance: str = "free",
                             max_bounces: int = 32, tile_rows: int = 8,
                             sampler: str = "random",
                             interpret: bool = False):
@@ -241,8 +248,8 @@ def make_fd_geom_train_step(scene: Scene, camera, width: int, height: int,
         tile_rows=tile_rows, sampler=sampler, primal_only=True,
         interpret=interpret)
     run, flatten = render.run_vec, render.flatten
-    dims = _fd_dims(sphere, cam_grads, sigma)
-    hs = [h, h, h, h, h, h, h_fov, h_sigma, h_sigma]
+    dims = _fd_dims(sphere, cam_grads, sigma, dir_grads)
+    hs = [h, h, h, h, h, h, h_fov, h_sigma, h_sigma, h_dir, h_dir, h_dir]
 
     @jax.jit
     def step(theta, opt_state, target_flat, seed):
@@ -257,17 +264,17 @@ def make_fd_geom_train_step(scene: Scene, camera, width: int, height: int,
             b, _ = run(_phys_probe(v), s * 2 + 1)
             return jnp.mean((a - target_flat) * (b - target_flat))
 
-        g = jnp.zeros(9, jnp.float32)
+        g = jnp.zeros(12, jnp.float32)
         loss = None
         for k in dims:
-            e = jnp.zeros(9, jnp.float32).at[k].set(hs[k])
+            e = jnp.zeros(12, jnp.float32).at[k].set(hs[k])
             lp = loss_of(vec + e, seed)
             lm = loss_of(vec - e, seed)
             g = g.at[k].set((lp - lm) / (2.0 * hs[k]))
             if loss is None:
                 loss = 0.5 * (lp + lm)   # O(h^2) from the center value
         grads = {"center": g[:3], "cam_origin": g[3:6], "fov": g[6],
-                 "sigma_a": g[7], "sigma_s": g[8]}
+                 "sigma_a": g[7], "sigma_s": g[8], "cam_dir": g[9:12]}
         updates, opt_state = optimizer.update(grads, opt_state, theta)
         theta = optax.apply_updates(theta, updates)
         if sigma:
@@ -285,9 +292,12 @@ def make_sharded_fd_geom_train_step(scene: Scene, camera, width: int,
                                     height: int, spp: int, optimizer,
                                     mesh, *, sphere: int | None,
                                     cam_grads: bool = True,
-                                    sigma: bool = False, h: float = 0.5,
+                                    sigma: bool = False,
+                                    dir_grads: bool = False,
+                                    h: float = 0.5,
                                     h_fov: float = 2e-3,
                                     h_sigma: float = 5e-4,
+                                    h_dir: float = 1e-3,
                                     distance: str = "free",
                                     max_bounces: int = 32,
                                     tile_rows: int = 8,
@@ -324,8 +334,8 @@ def make_sharded_fd_geom_train_step(scene: Scene, camera, width: int,
     padded = n_data * shard_pixels
     spp_half = max(spp // 2, 1)
 
-    dims = _fd_dims(sphere, cam_grads, sigma)
-    hs = [h, h, h, h, h, h, h_fov, h_sigma, h_sigma]
+    dims = _fd_dims(sphere, cam_grads, sigma, dir_grads)
+    hs = [h, h, h, h, h, h, h_fov, h_sigma, h_sigma, h_dir, h_dir, h_dir]
 
     def body(theta, opt_state, target, seed):
         di = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
@@ -348,17 +358,17 @@ def make_sharded_fd_geom_train_step(scene: Scene, camera, width: int,
             part = jax.lax.psum(jnp.sum(err), DATA_AXIS) / (npix * 3)
             return jax.lax.pmean(part, SAMPLE_AXIS)
 
-        g = jnp.zeros(9, jnp.float32)
+        g = jnp.zeros(12, jnp.float32)
         loss = None
         for k in dims:
-            e = jnp.zeros(9, jnp.float32).at[k].set(hs[k])
+            e = jnp.zeros(12, jnp.float32).at[k].set(hs[k])
             lp = loss_of(vec + e, seed)
             lm = loss_of(vec - e, seed)
             g = g.at[k].set((lp - lm) / (2.0 * hs[k]))
             if loss is None:
                 loss = 0.5 * (lp + lm)
         grads = {"center": g[:3], "cam_origin": g[3:6], "fov": g[6],
-                 "sigma_a": g[7], "sigma_s": g[8]}
+                 "sigma_a": g[7], "sigma_s": g[8], "cam_dir": g[9:12]}
         updates, opt_state = optimizer.update(grads, opt_state, theta)
         theta = optax.apply_updates(theta, updates)
         if sigma:
@@ -386,9 +396,11 @@ def make_sharded_fd_geom_train_step(scene: Scene, camera, width: int,
 
 def fit_geom_fd(scene: Scene, camera, target, *, sphere: int | None,
                 cam_grads: bool = True, sigma: bool = False,
+                dir_grads: bool = False,
                 steps: int = 60, spp: int = 16,
                 learning_rate=2e-1, h: float = 0.5, h_fov: float = 2e-3,
-                h_sigma: float = 5e-4, distance: str = "free",
+                h_sigma: float = 5e-4, h_dir: float = 1e-3,
+                distance: str = "free",
                 max_bounces: int = 32, sampler: str = "random",
                 tile_rows: int = 8, seed: int = 0, interpret: bool = False,
                 param_filter=None, log_every: int = 0):
@@ -404,15 +416,17 @@ def fit_geom_fd(scene: Scene, camera, target, *, sphere: int | None,
     theta = pack_theta(scene, camera, sphere)
     step = make_fd_geom_train_step(
         scene, camera, width, height, spp, optimizer, sphere=sphere,
-        cam_grads=cam_grads, sigma=sigma, h=h, h_fov=h_fov,
-        h_sigma=h_sigma, distance=distance, max_bounces=max_bounces,
+        cam_grads=cam_grads, sigma=sigma, dir_grads=dir_grads, h=h,
+        h_fov=h_fov, h_sigma=h_sigma, h_dir=h_dir, distance=distance,
+        max_bounces=max_bounces,
         tile_rows=tile_rows, sampler=sampler, interpret=interpret)
     return _fit_loop(step, theta, optimizer, target, width, height, steps,
                      seed, param_filter, log_every)
 
 
 def fit_geom(scene: Scene, camera, target, *, sphere: int | None,
-             cam_grads: bool = True, steps: int = 60, spp: int = 16,
+             cam_grads: bool = True, dir_grads: bool = False,
+             steps: int = 60, spp: int = 16,
              learning_rate=2e-1, distance: str = "free",
              max_bounces: int = 32, tile_rows: int = 8, seed: int = 0,
              interpret: bool = False, param_filter=None, log_every: int = 0):
@@ -423,6 +437,7 @@ def fit_geom(scene: Scene, camera, target, *, sphere: int | None,
     theta = pack_theta(scene, camera, sphere)
     step = make_geom_train_step(scene, camera, width, height, spp, optimizer,
                                 sphere=sphere, cam_grads=cam_grads,
+                                dir_grads=dir_grads,
                                 distance=distance, max_bounces=max_bounces,
                                 tile_rows=tile_rows, interpret=interpret)
     return _fit_loop(step, theta, optimizer, target, width, height, steps,

@@ -3,10 +3,11 @@
 Completes the fast differentiable path over the BASELINE.json #5 parameter
 set: kernels/diff.py covers the medium/material block {sigma_a, sigma_s,
 albedo, radiance} with a reverse-mode replay kernel; THIS kernel covers the
-geometric block — a sphere (light) CENTER, the CAMERA origin and fov — whose
-reverse-mode adjoint would have to re-derive every intersection/normal/NEE
-chain.  Forward mode fits the shape of the problem: K <= 7 directions
-(3 center + 3 camera origin + 1 fov), millions of pixels, so one dual pass
+geometric block — a sphere (light) CENTER, the CAMERA origin, fov, and look
+direction — whose reverse-mode adjoint would have to re-derive every
+intersection/normal/NEE chain.  Forward mode fits the shape of the problem:
+K <= 10 directions (3 center + 3 camera origin + 1 fov + 3 look direction,
+the full pose of src/rt.cpp:755-759), millions of pixels, so one dual pass
 computes the image AND all K directional image-derivatives in a single
 persistent-wavefront kernel sweep — no tape, no replay.
 
@@ -73,10 +74,15 @@ __all__ = ["make_geom_renderer", "pack_theta"]
 
 def pack_theta(scene: Scene, camera, sphere: int | None):
     """Geometric + medium parameter pytree: the differentiated sphere's
-    center, the camera origin and fov scale, and the medium coefficients
-    sigma_a/sigma_s (all always present — traced from SMEM so training
-    never recompiles; dual tangents only for the enabled geometric
-    blocks; sigma rides the primal for CRN-FD / re-render use)."""
+    center, the full camera pose (origin, LOOK DIRECTION, fov scale), and
+    the medium coefficients sigma_a/sigma_s (all always present — traced
+    from SMEM so training never recompiles; dual tangents only for the
+    enabled geometric blocks; sigma rides the primal for CRN-FD /
+    re-render use). cam_dir follows the engine convention
+    (scene/camera.py primary_rays): it enters the ray chain as stored —
+    cy = normalize(cx x d), ray = normalize(cx sx + cy sy + d) — so its
+    gradient is w.r.t. the raw stored vector, matching jax.grad through
+    the engine."""
     center = (jnp.zeros(3, jnp.float32) if sphere is None
               else jnp.asarray(scene.center[sphere], jnp.float32))
     return {
@@ -85,12 +91,14 @@ def pack_theta(scene: Scene, camera, sphere: int | None):
         "fov": jnp.asarray(camera.fov_scale, jnp.float32),
         "sigma_a": jnp.asarray(scene.medium.sigma_a, jnp.float32),
         "sigma_s": jnp.asarray(scene.medium.sigma_s, jnp.float32),
+        "cam_dir": jnp.asarray(camera.direction, jnp.float32),
     }
 
 
 def make_geom_renderer(scene: Scene, camera, width: int, height: int,
                        spp: int, *, sphere: int | None,
-                       cam_grads: bool = True, nee: bool = True,
+                       cam_grads: bool = True, dir_grads: bool = False,
+                       nee: bool = True,
                        distance: str = "free",
                        continue_prob: float = 0.6, max_bounces: int = 32,
                        tile_rows: int = 8, jitter: bool = True,
@@ -102,9 +110,10 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
 
     theta = pack_theta(...)-shaped dict; `sphere` selects which sphere's
     center carries the 3 center tangent directions (None disables the
-    block), cam_grads enables the 3+1 camera directions.  tang[k] is the
-    directional derivative d(img)/d(theta_k) for the basis order
-    [center.xyz?, cam_origin.xyz?, fov?].
+    block), cam_grads enables the 3+1 camera origin/fov directions, and
+    dir_grads (round 4) the 3 look-direction tangents — full-pose K=10.
+    tang[k] is the directional derivative d(img)/d(theta_k) for the basis
+    order [center.xyz?, cam_origin.xyz?, fov?, cam_dir.xyz?].
 
     render.grad_render(theta, seed) is a custom-VJP image function: under
     jax.grad it contracts the tangent planes with the image cotangent and
@@ -119,7 +128,8 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
     detached dual estimator provably drops — see the module docstring's
     known-limitation note.
     """
-    if sphere is None and not cam_grads and not primal_only:
+    if (sphere is None and not cam_grads and not dir_grads
+            and not primal_only):
         raise ValueError("no differentiated block enabled")
     if sampler not in ("random", "ld"):
         raise ValueError(f"unknown sampler {sampler!r}")
@@ -145,10 +155,10 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
 
     n_center = 3 if sphere is not None and not primal_only else 0
     n_cam = 4 if cam_grads and not primal_only else 0
-    K = n_center + n_cam
+    n_dir = 3 if dir_grads and not primal_only else 0
+    K = n_center + n_cam + n_dir
     k_cam = n_center
-
-    cam_d = [float(v) for v in np.asarray(camera.direction, np.float64)]
+    k_dir = n_center + n_cam
 
     emitters = sc["emitters"]
     n_em = len(emitters)
@@ -183,6 +193,13 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
         else:
             cam_o = co
             fov = fv
+        # look direction: traced from SMEM (indices 9-11) so CRN-FD can
+        # probe it; dual tangents only when dir_grads (round 4, K<=10)
+        cd = [theta_ref[9 + i] for i in range(3)]
+        if dir_grads and not primal_only:
+            cam_d = [du.D(cd[i], basis(k_dir + i)) for i in range(3)]
+        else:
+            cam_d = cd
         ctr_tab = [ctr_dual if s_ == sphere else
                    [float(v) for v in sc["c"][s_]] for s_ in range(S)]
 
@@ -601,6 +618,7 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
             jnp.reshape(theta["fov"], (1,)).astype(jnp.float32),
             jnp.reshape(theta["sigma_a"], (1,)).astype(jnp.float32),
             jnp.reshape(theta["sigma_s"], (1,)).astype(jnp.float32),
+            jnp.reshape(theta["cam_dir"], (3,)).astype(jnp.float32),
         ])
 
     def render(theta, seed):
@@ -619,7 +637,8 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
         # contract each tangent image with the cotangent: dL/dtheta_k
         g = jnp.tensordot(tang, gbar, axes=[[1, 2], [0, 1]])  # (K,)
         gc = g[:n_center] if n_center else jnp.zeros(0, jnp.float32)
-        gcam = g[n_center:]
+        gcam = g[k_cam:k_cam + n_cam]
+        gdir = g[k_dir:k_dir + n_dir]
         zero3 = jnp.zeros(3, jnp.float32)
         zero0 = jnp.zeros((), jnp.float32)
         theta_ct = {
@@ -630,13 +649,14 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
             # kernels/diff.py; FD (train_fast) differentiates sigma here
             "sigma_a": zero0,
             "sigma_s": zero0,
+            "cam_dir": gdir if dir_grads else zero3,
         }
         return theta_ct, np.zeros((), jax.dtypes.float0)
 
     grad_render.defvjp(gr_fwd, gr_bwd)
 
     def make_raw(n_tiles: int):
-        """fn(theta_vec (9,), seed i32, base_pixel i32) -> (img_sums
+        """fn(theta_vec (12,), seed i32, base_pixel i32) -> (img_sums
         (n_tiles*LANES, 3), tang_sums (K, n_tiles*LANES, 3)). Per-lane
         radiance SUMS (divide by spp); lanes past npix render a clamped
         duplicate of the last pixel and must be masked by the caller.
@@ -673,7 +693,7 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
 
     if not primal_only:
         render.grad_render = grad_render
-    render.run_vec = run          # vec-level entry (9 floats): FD substrate
+    render.run_vec = run          # vec-level entry (12 floats): FD substrate
     render.flatten = _flatten
     render.make_raw = make_raw
     render.lanes_per_tile = LANES
@@ -681,6 +701,8 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
     render.K = K
     render.basis_names = (tuple(f"center.{a}" for a in "xyz")[:n_center]
                           + (("cam_origin.x", "cam_origin.y", "cam_origin.z",
-                              "fov") if cam_grads else ()))
+                              "fov") if cam_grads else ())
+                          + (("cam_dir.x", "cam_dir.y", "cam_dir.z")
+                             if dir_grads else ()))
     render.npix = npix
     return render
