@@ -47,7 +47,7 @@ def main():
         W, H, spp_t, spp_m, spp_g, n_m, n_g = 48, 32, 32, 8, 8, 8, 6
     else:
         W = H = args.size or 1024
-        spp_t, spp_m, spp_g, n_m, n_g = 64, 16, 16, 60, 40
+        spp_t, spp_m, spp_g, n_m, n_g = 64, 16, 16, 80, 60
 
     LIGHT = 8        # the reference's r=2 area light (Sphere.cpp:19)
     SPHERE = 6       # the blue Lambertian sphere (Sphere.cpp:17)
@@ -98,30 +98,25 @@ def main():
         out["center"] = th["center"]     # light position only
         return out
 
-    for r in range(args.rounds):
-        # ---- geometry block (light position, CRN-FD) -------------------
-        theta, _ = fit_geom_fd(
-            est, cam, target, sphere=LIGHT, cam_grads=False, sigma=False,
-            steps=n_g, spp=spp_g, learning_rate=0.4, max_bounces=16,
-            sampler="ld", seed=100 + r, interpret=interp,
-            param_filter=geom_filter,
-            log_every=0)
-        est = dataclasses.replace(
-            est, center=est.center.at[LIGHT].set(theta["center"]))
-        report(f"round {r+1} geom")
+    # per-leaf Adam rates (the round-2 camera-study lesson writ small):
+    # sigma lives at 1e-3 scale, albedo at 1e-1 — one unit lr cannot
+    # serve both
+    import optax
+    from vpt.dist.train_fast import make_kernel_train_step
+    from vpt.kernels.diff import pack_params
 
-        # ---- material block (sigma + albedo, diff pair) ----------------
-        # per-leaf Adam rates (the round-2 camera-study lesson writ
-        # small): sigma lives at 1e-3 scale, albedo at 1e-1 — one unit
-        # lr cannot serve both
-        import optax
-        from vpt.dist.train_fast import make_kernel_train_step
-        from vpt.kernels.diff import pack_params
-
+    def matl_block(r, steps, dec):
         labels = {"sigma_a": "sig", "sigma_s": "sig", "albedo": "alb",
                   "radiance": "frozen"}
+        # sigma: fast converger — decay hard (oscillates otherwise).
+        # albedo: LOW-SIGNAL (the sphere sits fog-shrouded; its r/g
+        # reflectance moves few photons) — needs its rate SUSTAINED:
+        # decaying it froze r/g at ~0.35 from the 0.5 init while the
+        # well-lit b channel converged
         opt = optax.multi_transform(
-            {"sig": optax.adam(1.5e-3), "alb": optax.adam(3e-2),
+            {"sig": optax.adam(optax.exponential_decay(1.5e-3 * dec, 25,
+                                                       0.7)),
+             "alb": optax.adam(2.5e-2),
              "frozen": optax.set_to_zero()}, labels)
         step = make_kernel_train_step(est, cam, W, H, spp_m, opt,
                                       max_bounces=16, sampler="ld",
@@ -130,19 +125,47 @@ def main():
         opt_state = opt.init(params)
         tgt_flat = jnp.asarray(target.reshape(-1, 3), jnp.float32)
         alb0 = params["albedo"]
-        for i in range(n_m):
+        for i in range(steps):
             params, opt_state, _ = step(params, opt_state, tgt_flat,
                                         2000 * r + i)
             # only THE sphere's albedo is unknown; walls stay pinned
             params["albedo"] = alb0.at[SPHERE].set(
                 params["albedo"][SPHERE])
-        est = dataclasses.replace(
+        return dataclasses.replace(
             est,
             medium=dataclasses.replace(est.medium,
                                        sigma_a=params["sigma_a"],
                                        sigma_s=params["sigma_s"]),
             albedo=est.albedo.at[SPHERE].set(params["albedo"][SPHERE]))
+
+    def geom_block(r, steps, dec):
+        # geometry rate floors at 0.3: the final-round 0.125 schedule
+        # measured WORSE than its own start (noise-dominated steps)
+        theta, _ = fit_geom_fd(
+            est, cam, target, sphere=LIGHT, cam_grads=False, sigma=False,
+            steps=steps, spp=spp_g,
+            learning_rate=optax.exponential_decay(max(0.5 * dec, 0.3), 25,
+                                                  0.85),
+            max_bounces=16,
+            sampler="ld", seed=100 + r, interpret=interp,
+            param_filter=geom_filter,
+            log_every=0)
+        return dataclasses.replace(
+            est, center=est.center.at[LIGHT].set(theta["center"]))
+
+    # ordering matters: with the initial sigma_s ~3x too thick, the
+    # light-position FD gradient is MISLEADING (the thick fog re-shapes
+    # the glow; measured: geom-first diverges the light 8 -> 15-18 units
+    # in round 1, recovering only after sigma corrects). Material first
+    # fixes the medium on the first pass; later rounds POLISH at decayed
+    # rates (fresh full-rate Adam each round was measured to oscillate:
+    # sigma_a 0.001 -> 0 -> 0.003, albedo dmax 0.30 -> 0.68 -> 0.35).
+    for r in range(args.rounds):
+        dec = 0.5 ** r
+        est = matl_block(r, n_m if r == 0 else n_m // 2, dec)
         report(f"round {r+1} matl")
+        est = geom_block(r, n_g * 2 if r == 0 else n_g, dec)
+        report(f"round {r+1} geom")
 
     print("\nfinal vs truth:")
     print(f"  sigma_a  {float(est.medium.sigma_a):.5f}  "

@@ -39,6 +39,20 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "data",
                     reason="golden ensemble not generated — "
                            "tools/make_golden.py")
 def test_matches_reference_render_structure():
+    """Image-level agreement with the reference's own renderer.
+
+    Why the thresholds stop here (round-4 measurement,
+    .scratch/golden_probe.py): the agreement ASYMPTOTE is corr ~= 0.923
+    / median rel ~= 0.068 / mean ratio 1.14 — flat from 28 to 40
+    effective spp on our side, so it is NOT Monte-Carlo noise. The gap
+    is the reference's int-abs microfacet NaN factory (~0.5% of samples
+    NaN and get masked out of the golden, biasing it DARK in every
+    microfacet-lit block; BASELINE.md round-2 discovery). Tightening to
+    corr > 0.97 would require reproducing the NaN deletions, i.e.
+    shipping the reference's bug in the production renderer — whole-path
+    correctness is instead pinned bit-exactly by the replay oracle
+    (tests/test_replay_parity.py), which DOES reproduce the broken
+    semantics where they belong: in the test oracle."""
     g = np.load(GOLDEN)["ds16"]
     scene = vpt.cornell_vpt()
     cam = vpt.default_camera()
@@ -55,10 +69,10 @@ def test_matches_reference_render_structure():
 
     # overall energy within 20% (ours keeps samples the reference NaNs away)
     assert np.isclose(ours.mean(), g.mean(), rtol=0.20), (ours.mean(), g.mean())
-    # per-block structure: median relative error under 15%, p95 under 75%
+    # per-block structure (measured at 3 runs: med ~0.092, p95 ~0.53)
     rel = np.abs(ours - g) / (np.abs(g) + 1e-3)
-    assert np.percentile(rel, 50) < 0.15, np.percentile(rel, 50)
-    assert np.percentile(rel, 95) < 0.75, np.percentile(rel, 95)
+    assert np.percentile(rel, 50) < 0.12, np.percentile(rel, 50)
+    assert np.percentile(rel, 95) < 0.65, np.percentile(rel, 95)
     # spatial correlation: the images are the same picture
     c = np.corrcoef(ours.ravel(), g.ravel())[0, 1]
     assert c > 0.90, c   # ~12 effective spp here; 40-spp runs reach ~0.93
