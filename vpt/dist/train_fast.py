@@ -78,23 +78,30 @@ def make_sharded_kernel_train_step(scene: Scene, camera, width: int,
                                    sampler: str = "random",
                                    diff_g: bool = False,
                                    diff_field: bool = False,
+                                   diff_blobs: bool = False,
+                                   diff_grid: bool = False,
                                    interpret: bool = False):
     """Multi-chip kernel training: each device runs the fused fwd/bwd pair
     over its contiguous pixel-tile range (the backward kernel masks lanes
     past the frame), losses and parameter gradients are reduced with one
     psum over the data axis. step(params, opt_state, target_flat, seed) ->
     (params, opt_state, loss); target_flat is the full (npix, 3) frame,
-    sharded over the mesh's data axis by shard_map."""
+    sharded over the mesh's data axis by shard_map. diff_grid (round 4)
+    additionally psums each shard's voxel grad table — multi-chip
+    differentiable tomography."""
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
     from .mesh import DATA_AXIS
 
     n_data = mesh.shape[DATA_AXIS]
+    if diff_grid:
+        tile_rows = 8       # the scatter one-hot needs R=8 (kernels/diff)
     render = make_diff_renderer(
         scene, camera, width, height, max(spp // 2, 1), distance=distance,
         max_bounces=max_bounces, tile_rows=tile_rows, sampler=sampler,
-        diff_g=diff_g, diff_field=diff_field, interpret=interpret)
+        diff_g=diff_g, diff_field=diff_field, diff_blobs=diff_blobs,
+        diff_grid=diff_grid, interpret=interpret)
     lanes = render.lanes_per_tile
     npix = render.npix
     tiles_per_shard = -(-render.num_tiles // n_data)

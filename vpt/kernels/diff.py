@@ -1339,12 +1339,6 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
     render.defvjp(render_fwd, render_bwd)
 
     def make_shard(n_tiles: int):
-        if diff_grid:
-            raise NotImplementedError(
-                "diff_grid + make_shard: the sharded wrappers do not "
-                "carry the voxel-grad output yet; train grids single-"
-                "chip (the psum of a (C,128) grad table is trivial to "
-                "add when a multi-chip tomography run needs it)")
         """Shard-range variant for multi-chip kernel TRAINING
         (dist/train_fast.make_sharded_kernel_train_step): render_shard(
         params, seed, base_pixel) -> (n_tiles*LANES, 3) per-lane pixel
@@ -1352,9 +1346,12 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
         matching custom VJP that runs the backward kernel over the same
         range (lanes past npix contribute nothing — the kernel masks them).
         base_pixel is a traced i32 (under shard_map it comes from
-        axis_index); seed/base cotangents are float0."""
+        axis_index); seed/base cotangents are float0. With diff_grid the
+        voxel table is traced through and the shard's (C,128) grad table
+        reduces into grads["grid"] (round 4 — the caller psums it with the
+        rest of the gradient pytree)."""
 
-        def fwd_shard(pvec, seed, base_pixel):
+        def fwd_shard(pvec, seed, base_pixel, *tab):
             outs = pl.pallas_call(
                 fwd_kernel,
                 grid=(n_tiles,),
@@ -1374,10 +1371,10 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                 ],
                 interpret=interp,
             )(pvec, jnp.reshape(seed, (1,)).astype(jnp.int32),
-              jnp.reshape(base_pixel, (1,)).astype(jnp.int32), *tab_args)
+              jnp.reshape(base_pixel, (1,)).astype(jnp.int32), *tab)
             return jnp.stack([o.reshape(-1) for o in outs], axis=-1) / spp
 
-        def bwd_shard(pvec, seed, base_pixel, gbar):
+        def bwd_shard(pvec, seed, base_pixel, gbar, *tab):
             planes = [gbar[:, i].reshape(n_tiles * R, 128) for i in range(3)]
             out = pl.pallas_call(
                 bwd_kernel,
@@ -1391,28 +1388,53 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                                  memory_space=pltpu.VMEM)
                     for _ in range(3)
                 ],
-                out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0),
-                                       memory_space=pltpu.VMEM),
-                out_shape=jax.ShapeDtypeStruct((n_tiles * 8, 128),
-                                               jnp.float32),
+                out_specs=([pl.BlockSpec((8, 128), lambda i: (i, 0),
+                                         memory_space=pltpu.VMEM),
+                            pl.BlockSpec((C_tab, 128), lambda i: (i, 0),
+                                         memory_space=pltpu.VMEM)]
+                           if diff_grid else
+                           pl.BlockSpec((8, 128), lambda i: (i, 0),
+                                        memory_space=pltpu.VMEM)),
+                out_shape=([jax.ShapeDtypeStruct((n_tiles * 8, 128),
+                                                 jnp.float32),
+                            jax.ShapeDtypeStruct((n_tiles * C_tab, 128),
+                                                 jnp.float32)]
+                           if diff_grid else
+                           jax.ShapeDtypeStruct((n_tiles * 8, 128),
+                                                jnp.float32)),
                 interpret=interp,
             )(pvec, jnp.reshape(seed, (1,)).astype(jnp.int32),
-              jnp.reshape(base_pixel, (1,)).astype(jnp.int32), *tab_args,
+              jnp.reshape(base_pixel, (1,)).astype(jnp.int32), *tab,
               *planes)
+            if diff_grid:
+                out, ggrid = out
+                ggrid = ggrid.reshape(n_tiles, C_tab, 128).sum(axis=0)
+                gvec = out.reshape(n_tiles, 8, 128)[:, 0, :].sum(axis=0)[:P]
+                return gvec, ggrid.reshape(-1)[:T_grid].reshape(grid_shape)
             return out.reshape(n_tiles, 8, 128)[:, 0, :].sum(axis=0)[:P]
 
         @jax.custom_vjp
         def render_shard(params, seed, base_pixel):
-            return fwd_shard(_flatten(params, S), seed, base_pixel)
+            return fwd_shard(_flatten(params, S), seed, base_pixel,
+                             *_tab_of(params))
 
         def rs_fwd(params, seed, base_pixel):
             pvec = _flatten(params, S)
-            return fwd_shard(pvec, seed, base_pixel), (pvec, seed, base_pixel)
+            tab = _tab_of(params)
+            return (fwd_shard(pvec, seed, base_pixel, *tab),
+                    (pvec, seed, base_pixel, tab))
 
         def rs_bwd(res, gbar):
-            pvec, seed, base_pixel = res
-            gvec = bwd_shard(pvec, seed, base_pixel, gbar)
+            pvec, seed, base_pixel, tab = res
             f0 = lambda x: np.zeros(np.shape(x), jax.dtypes.float0)
+            if diff_grid:
+                gvec, ggrid = bwd_shard(pvec, seed, base_pixel, gbar, *tab)
+                grads = unpack_params(gvec, S, with_g=diff_g,
+                                      with_field=diff_field,
+                                      n_blobs=K_blob)
+                grads["grid"] = ggrid
+                return grads, f0(seed), f0(base_pixel)
+            gvec = bwd_shard(pvec, seed, base_pixel, gbar, *tab)
             return (unpack_params(gvec, S, with_g=diff_g,
                                   with_field=diff_field, n_blobs=K_blob),
                     f0(seed), f0(base_pixel))
