@@ -32,7 +32,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true",
                     help="tiny interpret-mode pipeline smoke")
-    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--steps", type=int, default=2400)
     ap.add_argument("--spp", type=int, default=32)
     ap.add_argument("--size", type=int, default=192)
     args = ap.parse_args()
@@ -65,10 +65,17 @@ def main():
     true_scene = foggy_cornell()
     true_scene = dataclasses.replace(
         true_scene, medium=dataclasses.replace(true_scene.medium, g=0.5))
+    # the 4th REVERSE view is what identifies the HG sign: all-frontal
+    # cameras measured an appearance-perfect g=-0.46 basin at g=+0.5
+    # truth; looking back along the dominant light paths separates
+    # forward from backward scattering (BASELINE.md round-4 multi-view
+    # study: g recovered to 0.44 with it). The (sigma, fog_k)
+    # profile-amplitude trade survives even 4 views.
     cams = [
         vpt.default_camera(),
         look_at((35.0, 30.0, 180.0), (0.0, -10.0, 0.0)),
         look_at((-38.0, -20.0, 150.0), (10.0, 0.0, -40.0)),
+        look_at((0.0, 25.0, 60.0), (0.0, -10.0, 200.0)),
     ]
 
     print(f"rendering {len(cams)} targets ({W}x{H} @ {tspp} spp)...",
@@ -94,7 +101,7 @@ def main():
     t0 = time.time()
     params, losses = fit_multiview(
         wrong, cams, targets, steps=steps, spp=spp,
-        learning_rate=6e-3, max_bounces=mb, sampler="ld",
+        learning_rate=2.5e-3, max_bounces=mb, sampler="ld",
         diff_g=True, diff_field=True, interpret=interpret,
         param_filter=freeze_materials, polyak_tail=max(steps // 8, 1),
         log_every=max(steps // 12, 1))
