@@ -557,8 +557,11 @@ def test_grid_fused_kernel_matches_engine():
 
 def test_grid_rejected_by_geom_dual_kernel():
     """Grids run in the forward kernel and the diff pair (round 4); the
-    geometric dual kernel still refuses loudly (use CRN FD there)."""
-    from vpt.kernels.geom import make_geom_renderer
+    geometric DUAL planes still refuse loudly (use CRN FD there), but
+    the primal_only FD substrate accepts grids and matches the forward
+    kernel's render (shared prims arithmetic)."""
+    from vpt.kernels.geom import make_geom_renderer, pack_theta
+    from vpt.kernels.wavefront import build_tile_renderer
 
     base = blob_cloud()
     scene = dataclasses.replace(
@@ -567,6 +570,21 @@ def test_grid_rejected_by_geom_dual_kernel():
     with pytest.raises(NotImplementedError):
         make_geom_renderer(scene, vpt.default_camera(), 16, 8, 2,
                            sphere=8, interpret=True)
+
+    W, H, SPP, MB = 16, 8, 2, 4
+    r = make_geom_renderer(scene, vpt.default_camera(), W, H, SPP,
+                           sphere=None, cam_grads=False, primal_only=True,
+                           max_bounces=MB, tile_rows=8, interpret=True)
+    img, tang = r(pack_theta(scene, vpt.default_camera(), None),
+                  jnp.asarray(3))
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    assert tang.shape[0] == 0
+    ref = np.asarray(build_tile_renderer(
+        scene, vpt.default_camera(), W, H, SPP, max_bounces=MB,
+        tile_rows=8, interpret=True)(3))
+    rel = np.abs(img - ref) / max(1.0, np.abs(ref).max())
+    assert np.quantile(rel, 0.99) < 1e-4, np.quantile(rel, 0.99)
 
 
 @pytest.mark.slow
@@ -716,3 +734,36 @@ def test_engine_hetero_ea_deep_miss_lanes_finite():
                            integrator="explicit_equiangular", seed=0)
     img = np.asarray(vpt.render(foggy_cornell(), vpt.default_camera(), cfg))
     assert np.isfinite(img).all() and (img >= 0).all()
+
+
+@pytest.mark.slow
+def test_fd_geom_step_runs_in_grid_media():
+    """Round 4: boundary-aware CRN-FD geometry training works in voxel-
+    grid media (the geom kernel's primal_only mode accepts grids; the FD
+    probes re-march the shared prims canonical model at theta +- h).
+    Pins: step runs, loss finite, only the enabled block moves."""
+    import optax
+
+    from vpt.dist.train_fast import make_fd_geom_train_step
+    from vpt.kernels.geom import pack_theta
+
+    base = blob_cloud()
+    scene = dataclasses.replace(
+        base, medium=Medium(base.medium.sigma_a, base.medium.sigma_s, 0.0,
+                            _blob_grid(6)))
+    cam = vpt.default_camera()
+    W, H, SPP, MB, LIGHT = 16, 8, 4, 4, 8
+    target = np.zeros((W * H, 3), np.float32) + 0.05
+    opt = optax.adam(0.3)
+    theta = dict(pack_theta(scene, cam, LIGHT))
+    theta["center"] = theta["center"] + jnp.asarray([0.0, 4.0, 0.0])
+    step = make_fd_geom_train_step(scene, cam, W, H, SPP, opt,
+                                   sphere=LIGHT, cam_grads=False,
+                                   max_bounces=MB, interpret=True)
+    st = opt.init(theta)
+    t2, st, loss = step(theta, st, jnp.asarray(target), jnp.int32(5))
+    assert np.isfinite(float(loss))
+    assert not np.allclose(np.asarray(t2["center"]),
+                           np.asarray(theta["center"]))
+    assert np.allclose(np.asarray(t2["cam_origin"]),
+                       np.asarray(theta["cam_origin"]))

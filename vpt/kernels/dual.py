@@ -698,7 +698,13 @@ def erf_poly(x):
 
 
 def field_density(fc, x):
-    """Density multiplier d(x); x is a list of 3 dual-or-plain lanes."""
+    """Density multiplier d(x); x is a list of 3 dual-or-plain lanes.
+    Voxel grids are PRIMAL-ONLY (geom.py guards dual builds): the
+    inputs are plain lanes, so the call routes straight to the shared
+    prims trilinear — exact arithmetic parity with the forward kernel."""
+    if fc["kind"] == "grid":
+        from . import prims as _pr
+        return _pr.grid_density(fc, [val(c) for c in x])
     if fc["kind"] == "exp_height":
         k, y0 = fc["params"]
         return exp(clip(-k * (x[1] - y0), -80.0, 80.0))
@@ -713,8 +719,13 @@ def field_density(fc, x):
 def field_tau(fc, sigma_t, o, d, t):
     """Closed-form optical depth sigma_t * int_0^t density along unit d
     (prims.field_tau with dual o/d/t; sigma_t stays primal — the geom
-    kernel duals carry GEOMETRY tangents only)."""
+    kernel duals carry GEOMETRY tangents only). Grids: primal-only
+    (guarded at build), shared canonical pc march from prims."""
     import math as _math
+    if fc["kind"] == "grid":
+        from . import prims as _pr
+        return _pr.field_tau(fc, val(sigma_t), [val(c) for c in o],
+                             [val(c) for c in d], val(t))
     if fc["kind"] == "exp_height":
         k, y0 = fc["params"]
         d0 = exp(clip(-k * (o[1] - y0), -80.0, 80.0))
@@ -754,6 +765,11 @@ def field_sample_free(fc, sigma_t, o, d, u, rng, t_cap):
     prims loop; same PCG draw count as the forward kernel)."""
     from .prims import BIG as _BIG
     from . import prims as _pr
+    if fc["kind"] == "grid":
+        # exact pc-tau inversion, deterministic in u (primal-only mode)
+        return _pr.field_sample_free(
+            fc, val(sigma_t), [val(c) for c in o], [val(c) for c in d],
+            val(u), rng, val(t_cap))
     if fc["kind"] == "exp_height":
         k, y0 = fc["params"]
         d0 = exp(clip(-k * (o[1] - y0), -80.0, 80.0))

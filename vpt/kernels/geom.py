@@ -138,13 +138,15 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
     fc = sc["field"]        # heterogeneous density (None = homogeneous;
     # both distance families take fields — the EA transform is pure
     # geometry, only Tr/T/sigma_s(xt) swap to the dual field forms)
-    if fc is not None and fc["kind"] == "grid":
+    if fc is not None and fc["kind"] == "grid" and not primal_only:
         raise NotImplementedError(
-            "voxel-grid fields: the geometric dual kernel would need dual "
+            "voxel-grid fields: the geometric DUAL planes would need dual "
             "trilinear gathers + a dual canonical march; grids run in the "
-            "forward kernel (wavefront.py) and the diff pair (diff.py) — "
-            "use CRN finite differences (dist.train_fast.fit_geom_fd) or "
-            "the engine's AD for geometry gradients in grid media")
+            "forward kernel (wavefront.py), the diff pair (diff.py), and "
+            "THIS kernel's primal_only mode (round 4) — so geometry "
+            "gradients in grid media use CRN finite differences "
+            "(dist.train_fast.fit_geom_fd), the boundary-aware estimator "
+            "recommended for geometry anyway, or the engine's AD")
     S = len(sc["r"])
     cp = float(continue_prob)
     q = 1.0 - cp
@@ -152,6 +154,13 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
     LANES = R * 128
     npix = width * height
     num_tiles = -(-npix // LANES)
+    grid_mode = fc is not None and fc["kind"] == "grid"
+    if grid_mode:
+        from .wavefront import grid_table
+        tab_host = grid_table(scene.medium.density.params)
+    else:
+        tab_host = None
+    fc_base = fc
 
     n_center = 3 if sphere is not None and not primal_only else 0
     n_cam = 4 if cam_grads and not primal_only else 0
@@ -170,7 +179,17 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
         """Tangent seed tuple: 1.0 in direction k, structural zero elsewhere."""
         return tuple(1.0 if i == k else None for i in range(K))
 
-    def kernel(theta_ref, seed_ref, base_ref, *outs):
+    def kernel(theta_ref, seed_ref, base_ref, *refs):
+        # grid mode: the packed voxel table rides as the first VMEM input
+        # (wavefront.py pattern); inner closures resolve `fc` to this
+        # kernel-local binding
+        if grid_mode:
+            tab_ref = refs[0]
+            outs = refs[1:]
+            fc = dict(fc_base, tab=tab_ref[...])
+        else:
+            outs = refs
+            fc = fc_base
         # --- dual parameters from SMEM ---------------------------------
         pc = [theta_ref[i] for i in range(3)]
         co = [theta_ref[3 + i] for i in range(3)]
@@ -581,6 +600,10 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
 
     interp = pltpu.InterpretParams() if interpret else False
 
+    tab_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] if grid_mode
+                 else [])
+    tab_args = (tab_host,) if grid_mode else ()
+
     @jax.jit
     def run(theta_vec, seed):
         outs = pl.pallas_call(
@@ -590,7 +613,7 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-            ],
+            ] + tab_specs,
             out_specs=[
                 pl.BlockSpec((R, 128), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -602,7 +625,7 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
             ],
             interpret=interp,
         )(theta_vec, jnp.reshape(seed, (1,)).astype(jnp.int32),
-          jnp.asarray([0], jnp.int32))
+          jnp.asarray([0], jnp.int32), *tab_args)
         flat = [o.reshape(-1)[:npix] * (1.0 / spp) for o in outs]
         img = jnp.stack([flat[c * (1 + K)] for c in range(3)], axis=-1)
         tang = jnp.stack([
@@ -667,7 +690,8 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
             outs = pl.pallas_call(
                 kernel,
                 grid=(n_tiles,),
-                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+                + tab_specs,
                 out_specs=[
                     pl.BlockSpec((R, 128), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
@@ -679,7 +703,7 @@ def make_geom_renderer(scene: Scene, camera, width: int, height: int,
                 ],
                 interpret=interp,
             )(theta_vec, jnp.reshape(seed, (1,)).astype(jnp.int32),
-              jnp.reshape(base_pixel, (1,)).astype(jnp.int32))
+              jnp.reshape(base_pixel, (1,)).astype(jnp.int32), *tab_args)
             flat = [o.reshape(-1) for o in outs]
             img = jnp.stack([flat[c * (1 + K)] for c in range(3)], axis=-1)
             tang = jnp.stack([
