@@ -261,6 +261,7 @@ def test_checkpoint_resume_bitstable(tmp_path):
     assert np.allclose(np.asarray(full), np.asarray(resumed), atol=1e-7)
 
 
+@pytest.mark.slow  # ~340s: interpret diff pair under shard_map
 def test_sharded_kernel_train_step_runs():
     """Multi-chip kernel training (dist/train_fast.py): the fused fwd/bwd
     pair under shard_map with psum'd loss/grads executes on the CPU mesh

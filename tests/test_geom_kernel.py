@@ -384,6 +384,8 @@ ANISO_MEDIUM_SCENE = _dc.replace(
     MEDIUM_SCENE, medium=_dc.replace(MEDIUM_SCENE.medium, g=0.6))
 
 
+@pytest.mark.slow  # ~400s interpret compile; the grid + light-block
+# primal parity gates stay in the fast tier
 def test_hg_primal_matches_baked_kernel():
     r = make_geom_renderer(ANISO_SCENE, CAM, W, H, SPP, sphere=LIGHT,
                            cam_grads=False, max_bounces=MB, tile_rows=8,
@@ -433,6 +435,8 @@ FOG_MEDIUM_SCENE = _dc.replace(
     (foggy_cornell, "free"), (blob_cloud, "free"),
     (foggy_cornell, "equiangular"),     # round 3: hetero EA duals
 ])
+@pytest.mark.slow  # ~300s each; hetero primal parity also covered by
+# the (faster) tangent/FD gates and the grid parity test
 def test_hetero_primal_matches_baked_kernel(mk, distance):
     sc_h = mk()
     r = make_geom_renderer(sc_h, CAM, W, H, SPP, sphere=LIGHT if mk is

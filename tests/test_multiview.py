@@ -32,6 +32,7 @@ CAM2 = look_at((35.0, 25.0, 190.0), (0.0, 0.0, -20.0))
 W, H, SPP = 16, 12, 4
 
 
+@pytest.mark.slow  # ~330s: two interpret diff-pair compiles
 def test_single_view_step_is_kernel_step():
     opt = optax.adam(1e-2)
     params = pack_params(SCENE)

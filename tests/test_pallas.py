@@ -85,6 +85,7 @@ def test_scatter_tiles_bit_exact():
                           rev.reshape(n_tiles, lanes, 3)[::-1].reshape(-1, 3))
 
 
+@pytest.mark.slow  # ~400s: two interpret compiles (scatter + dense)
 def test_render_adaptive_unbiased_and_finite():
     """render_adaptive: finite, right shape, deterministic per seed, and
     the clamped mean agrees with the plain renderer over a seed ensemble

@@ -71,6 +71,7 @@ def _cams(v):
             cam_mod.look_at((-140, -20, 175), (0, 0, 170))][:v]
 
 
+@pytest.mark.slow  # ~390s interpret compile (engine AD over the grid)
 def test_grid_train_step_runs_and_projects():
     n = 4
     truth = _truth_values(n)
