@@ -597,24 +597,28 @@ def fit_kernel(scene: Scene, camera, target, *, steps: int = 100,
                max_bounces: int = 32, sampler: str = "random",
                seed: int = 0, diff_g: bool = False,
                diff_field: bool = False, diff_blobs: bool = False,
+               diff_grid: bool = False,
                interpret: bool = False,
                param_filter=None, log_every: int = 0):
     """Recover {sigma_a, sigma_s, albedo, radiance} — plus the HG
     anisotropy g when diff_g=True, plus the exp_height fog falloff "fog_k"
     when diff_field=True, plus the Gaussian-blob field parameters "blobs"
-    (K, 5) when diff_blobs=True — from a target (H, W, 3) image with the
-    fused kernel. `param_filter(updated, initial) -> params` can freeze
-    leaves (e.g. keep everything but sigma_s fixed). Returns
+    (K, 5) when diff_blobs=True, plus the voxel table "grid" when
+    diff_grid=True (single-view; multi-view tomography wants
+    vpt.dist.fit_grid(backend="kernel")) — from a target (H, W, 3) image
+    with the fused kernel. `param_filter(updated, initial) -> params` can
+    freeze leaves (e.g. keep everything but sigma_s fixed). Returns
     (params, losses)."""
     height, width = target.shape[:2]
     optimizer = optax.adam(learning_rate)
     params = pack_params(scene, with_g=diff_g, with_field=diff_field,
-                         with_blobs=diff_blobs)
+                         with_blobs=diff_blobs, with_grid=diff_grid)
     step = make_kernel_train_step(scene, camera, width, height, spp,
                                   optimizer, distance=distance,
                                   max_bounces=max_bounces, sampler=sampler,
                                   diff_g=diff_g, diff_field=diff_field,
                                   diff_blobs=diff_blobs,
+                                  diff_grid=diff_grid,
                                   interpret=interpret)
     return _fit_loop(step, params, optimizer, target, width, height, steps,
                      seed, param_filter, log_every)
