@@ -767,3 +767,27 @@ def test_fd_geom_step_runs_in_grid_media():
                            np.asarray(theta["center"]))
     assert np.allclose(np.asarray(t2["cam_origin"]),
                        np.asarray(theta["cam_origin"]))
+
+
+def test_grid_table_rows_are_8_aligned():
+    """Mosaic requires 8-divisible VMEM block rows; the diff_grid backward
+    emits the voxel-grad table as a (C, 128) block, so grid_table must pad
+    C up (n=24 -> C=108 failed the compiled lowering before the round-4
+    fix; interpret mode masked it). The packed z-pair values themselves
+    must be unaffected by the padding."""
+    from vpt.kernels.wavefront import grid_table
+
+    for n in (4, 6, 16, 24, 32):
+        vals = np.linspace(0.0, 1.0, n ** 3, dtype=np.float32).reshape(
+            n, n, n)
+        tab = grid_table(jnp.asarray(vals))
+        C = tab.shape[0]
+        assert tab.shape[1] == 128
+        assert C % 8 == 0, (n, C)
+        assert C * 128 >= n ** 3
+        # unpack word 0: high 16 bits bf16(g[0]), low bf16(g[1])
+        w0 = np.asarray(tab).ravel()[:2]
+        iw = w0.view(np.int32)
+        hi = (iw & np.int32(-65536)).view(np.float32)
+        flat = vals.ravel()
+        assert np.allclose(hi[0], flat[0], atol=4e-3)

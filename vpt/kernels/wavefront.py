@@ -150,7 +150,11 @@ def grid_table(params) -> jnp.ndarray:
     word = jnp.bitwise_or(jnp.left_shift(u, 16), nxt)
     tab = jax.lax.bitcast_convert_type(word, jnp.float32)
     T = tab.shape[0]
+    # C rounded to a multiple of 8: the diff_grid backward emits the
+    # voxel-grad table as a (C, 128) VMEM block, and Mosaic requires
+    # 8-divisible block rows (n=24 -> C=108 failed the lowering)
     C = -(-T // 128)
+    C = -(-C // 8) * 8
     return jnp.pad(tab, (0, C * 128 - T)).reshape(C, 128)
 
 
