@@ -736,10 +736,13 @@ def field_tau(fc, sigma_t, o, d, t):
         base = where(const, d0 * t, (d0 - d_end) / safe_m)
         # floor by |t| * min-endpoint-density (prims.field_tau guard:
         # both exponents clipping at one rail collapses the difference
-        # form to 0 while density reports e^{80}); odd in t
+        # form to 0 while density reports e^{80}); odd in t; magnitude
+        # capped at the shared dead-lane rail (prims._TAU_CAP — the
+        # f32-inf EA/near-horizontal overflow, round 4)
+        from .prims import _TAU_CAP
         lb = t * minimum(d0, d_end)
-        return sigma_t * where(val(t) >= 0.0, maximum(base, lb),
-                               minimum(base, lb))
+        tau = where(val(t) >= 0.0, maximum(base, lb), minimum(base, lb))
+        return sigma_t * clip(tau, -_TAU_CAP, _TAU_CAP)
     tau = None
     sqrt_half = _math.sqrt(0.5)
     sqrt_half_pi = _math.sqrt(0.5 * _math.pi)

@@ -840,6 +840,10 @@ def grid_sample_free_and_tau(fc, sigma_t, o, d, u, t_cap):
 
 _SQRT_HALF = math.sqrt(0.5)
 _SQRT_HALF_PI = math.sqrt(0.5 * math.pi)
+# unit-sigma optical-path magnitude cap: far past total extinction at the
+# sigma >= 1e-6 physical floor (e^-30), far below f32 overflow even after
+# the score chains' 1e20-scale Tr/(1-Tr) and wL products
+_TAU_CAP = 3.0e7
 
 
 def field_tau(fc, sigma_t, o, d, t, nonneg=False):
@@ -868,6 +872,15 @@ def field_tau(fc, sigma_t, o, d, t, nonneg=False):
         lb = t * jnp.minimum(d0, d_end)
         tau = jnp.where(t >= 0.0, jnp.maximum(base, lb),
                         jnp.minimum(base, lb))
+        # f32-inf rail: an equi-angular sample far below the fog plane on
+        # a near-horizontal ray reaches d_end = e^80 with |m| ~ 1e-6 —
+        # base ~ 5e40 overflows f32, and the backward's masked 0 * inf is
+        # the NaN factory of the EA-hetero diff gates (round 4). Any lane
+        # past the cap has exp(-sigma tau) == 0 identically (tau 3e7 at
+        # the sigma >= 1e-6 domain floor is e^-30), so capping changes no
+        # contributing value — it only keeps dead lanes' score factors
+        # finite so their zero weight annihilates them.
+        tau = jnp.clip(tau, -_TAU_CAP, _TAU_CAP)
         return sigma_t * tau
     tau = None
     for (cx, cy, cz, r, w) in fc["params"]:
@@ -902,7 +915,9 @@ def field_tau_dk(fc, o, d, t):
     # d/dk[(d0-d1)/m] = ((a1 d1 - a0 d0) - (d0-d1) dy/m) / m
     gen = ((a1 * d1 - a0 * d0) - (d0 - d1) * d[1] * inv_m) * inv_m
     lim = -0.5 * (a0 + a1) * d0 * t
-    return jnp.where(const, lim, gen)
+    # same f32-inf rail as field_tau: a1*d1 can reach ~1e38 and /m another
+    # 1e6 — dead lanes (zero transmittance) only; cap keeps 0 * dI finite
+    return jnp.clip(jnp.where(const, lim, gen), -_TAU_CAP, _TAU_CAP)
 
 
 _TWO_OVER_SQRTPI = 1.1283791670955126

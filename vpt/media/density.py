@@ -242,8 +242,14 @@ def optical_depth(field: DensityField, sigma_t, o, d, t):
         # reports e^{80} — the inconsistency documented above (kernels/
         # prims.field_tau has the identical guard); keeps tau odd in t
         lb = t * jnp.minimum(d0, d_end)
-        return sigma_t * jnp.where(t >= 0.0, jnp.maximum(base, lb),
-                                   jnp.minimum(base, lb))
+        tau = jnp.where(t >= 0.0, jnp.maximum(base, lb),
+                        jnp.minimum(base, lb))
+        # dead-lane f32-inf rail (kernels/prims._TAU_CAP, round 4): an EA
+        # sample far below the plane on a near-horizontal ray reaches
+        # base ~ e^80 / 1e-6 > f32 max; any capped lane has zero
+        # transmittance identically, the cap only keeps 0 * tau finite
+        # in reverse mode
+        return sigma_t * jnp.clip(tau, -3.0e7, 3.0e7)
     if field.kind == BLOBS:
         c = field.params[:, :3]
         r = field.params[:, 3]
