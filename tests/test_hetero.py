@@ -791,3 +791,40 @@ def test_grid_table_rows_are_8_aligned():
         hi = (iw & np.int32(-65536)).view(np.float32)
         flat = vals.ravel()
         assert np.allclose(hi[0], flat[0], atol=4e-3)
+
+
+def test_exp_height_tau_inf_rail_capped():
+    """Round 4: the f32-inf rail — an EA-style sample far below the fog
+    plane on a near-horizontal ray drives the difference form
+    (d0 - d_end)/m past f32 max (e^80 / 1e-6). All four tau forms must
+    return FINITE (capped) values there, and the k-derivative too; the
+    backward through exp(-sigma*tau) must be finite (the 0 * inf NaN
+    factory of the EA-hetero diff gates)."""
+    import jax
+
+    from vpt.kernels import prims as pr
+
+    field = df.exp_height(k=0.06, y0=-40.8, majorant=1.2)
+    fck = {"kind": "exp_height", "params": (0.06, -40.8)}
+    o = jnp.asarray([[0.0, 10.0, 170.0]])
+    d = jnp.asarray([[0.9999999, -2e-5, 0.0]])
+    d = d / jnp.linalg.norm(d)
+    t = jnp.asarray([9.0e7])
+
+    tau_e = np.asarray(df.optical_depth(field, 1.0, o, d, t))
+    assert np.isfinite(tau_e).all() and tau_e[0] > 1e6
+
+    ol = [o[:, i] for i in range(3)]
+    dl = [d[:, i] for i in range(3)]
+    tau_k = np.asarray(pr.field_tau(fck, 1.0, ol, dl, t))
+    assert np.isfinite(tau_k).all()
+    dk = np.asarray(pr.field_tau_dk(fck, ol, dl, t))
+    assert np.isfinite(dk).all()
+
+    # the exact failure shape: d(exp(-sigma*tau))/dsigma with tau at the
+    # rail must not be NaN (pre-fix: tau == inf, masked 0 * inf)
+    g = jax.grad(
+        lambda s: float(0) + jnp.sum(
+            jnp.exp(-s * df.optical_depth(field, 1.0, o, d, t))))(
+                jnp.float32(0.01))
+    assert np.isfinite(float(g))
