@@ -243,9 +243,10 @@ def test_ld_deterministic_and_unbiased_vs_random(render_ld, render):
 from vpt.scene.scene import Medium, blob_cloud, foggy_cornell, medium_shell
 
 
-def grid_cloud():
+def grid_cloud(interp="tri"):
     """blob_cloud rasterized onto an 8^3 voxel grid (round 4: grids run in
-    the diff pair — chunked lane-gather trilinear, canonical pc march)."""
+    the diff pair — chunked lane-gather trilinear, canonical pc march;
+    round 5: the xy-nearest/z-linear transport interpolant option)."""
     import dataclasses
 
     from vpt.media import density as df
@@ -260,10 +261,14 @@ def grid_cloud():
     sx, sz = 80 / (n - 1), 90 / (n - 1)
     f = dataclasses.replace(
         df.grid(vals, origin=(-40 - sx / 2, -40 - sx / 2, 130 - sz / 2),
-                spacing=(sx, sx, sz)), n_march=8)
+                spacing=(sx, sx, sz), transport_interp=interp), n_march=8)
     return dataclasses.replace(
         base, medium=Medium(base.medium.sigma_a, base.medium.sigma_s, 0.0,
                             f))
+
+
+def grid_cloud_nearest():
+    return grid_cloud(interp="nearest")
 
 
 @pytest.mark.parametrize("make_scene,distance", [
@@ -444,9 +449,9 @@ def test_fog_k_leaf_validation_and_guards():
 # MXU one-hot scatter (prims.grid_scatter_point roll identity).
 
 
-@pytest.fixture(scope="module")
-def grid_pair():
-    sc = grid_cloud()
+@pytest.fixture(scope="module", params=["tri", "nearest"])
+def grid_pair(request):
+    sc = grid_cloud(interp=request.param)
     rg = make_diff_renderer(sc, CAM, W, H, SPP, max_bounces=8, tile_rows=8,
                             interpret=True, diff_grid=True)
     return sc, rg

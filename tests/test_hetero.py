@@ -529,15 +529,21 @@ def test_grid_scene_io_round_trip(tmp_path):
                                np.asarray(gfield.params), rtol=1e-6)
 
 
-def test_grid_fused_kernel_matches_engine():
+@pytest.mark.parametrize("interp", ["tri", "nearest"])
+def test_grid_fused_kernel_matches_engine(interp):
     """Round 4: voxel grids RUN in the fused kernel (chunked lane-gather
     trilinear + the canonical pc march shared with media/density.py).
     Kernel and engine estimate the same transport solution — their means
-    agree within MC error (variance-scaled gate, the test_hg idiom)."""
+    agree within MC error (variance-scaled gate, the test_hg idiom).
+    Round 5: also under the xy-nearest/z-linear transport interpolant
+    (the n>=24 gather-wall answer): both sides swap the SAME pc-model
+    evaluation, so parity must hold identically."""
     base = blob_cloud()
     scene = dataclasses.replace(
         base, medium=Medium(base.medium.sigma_a, base.medium.sigma_s, 0.0,
-                            dataclasses.replace(_blob_grid(8), n_march=8)))
+                            dataclasses.replace(
+                                _blob_grid(8), n_march=8,
+                                transport_interp=interp)))
     W, H, spp = 16, 8, 24
     run = build_tile_renderer(scene, vpt.default_camera(), W, H, spp,
                               nee=True, max_bounces=8, tile_rows=8,

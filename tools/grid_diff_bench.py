@@ -36,6 +36,11 @@ def main():
     base = blob_cloud()
     camera = vpt.default_camera()
     n, n_march = 16, 8
+    if "--n" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--n") + 1])
+    interp = "tri"
+    if "--interp" in sys.argv:
+        interp = sys.argv[sys.argv.index("--interp") + 1]
     xs = np.linspace(-40, 40, n)
     zs = np.linspace(130, 220, n)
     gx, gy, gz = np.meshgrid(xs, xs, zs, indexing="ij")
@@ -44,7 +49,8 @@ def main():
     sx, sz = 80 / (n - 1), 90 / (n - 1)
     f = dataclasses.replace(
         df.grid(vals, origin=(-40 - sx / 2, -40 - sx / 2, 130 - sz / 2),
-                spacing=(sx, sx, sz)), n_march=n_march)
+                spacing=(sx, sx, sz), transport_interp=interp),
+        n_march=n_march)
     scene = dataclasses.replace(
         base, medium=Medium(base.medium.sigma_a, base.medium.sigma_s, 0.0,
                             f))
@@ -81,8 +87,8 @@ def main():
         print(json.dumps({"case": label, "fwd_bwd_paths_per_sec": rate,
                           "t_chain": best, "loss": l0 / chain}))
 
-    measure("grid16_march8_sigma_albedo_radiance")
-    measure("grid16_march8_voxel_grads", diff_grid=True)
+    measure(f"grid{n}_march8_{interp}_sigma_albedo_radiance")
+    measure(f"grid{n}_march8_{interp}_voxel_grads", diff_grid=True)
 
 
 if __name__ == "__main__":

@@ -36,6 +36,17 @@ def main():
     spp = 16 if quick else 64
     chain = 2 if quick else 4
     n_paths = W * H * spp
+    interp = "tri"
+    if "--interp" in sys.argv:
+        interp = sys.argv[sys.argv.index("--interp") + 1]
+    sizes = ((16, 8, 32), (16, 16, 32))
+    if "--sizes" in sys.argv:
+        # "24" or "24:16" (n:tile_rows); march fixed at 8
+        def _parse(v):
+            n_, _, r_ = v.partition(":")
+            return (int(n_), 8, int(r_) if r_ else 32)
+        sizes = tuple(_parse(v) for v in
+                      sys.argv[sys.argv.index("--sizes") + 1].split(","))
 
     base = blob_cloud()
     camera = vpt.default_camera()
@@ -49,7 +60,7 @@ def main():
         sx, sz = 80 / (n - 1), 90 / (n - 1)
         return df.grid(vals, origin=(-40 - sx / 2, -40 - sx / 2,
                                      130 - sz / 2),
-                       spacing=(sx, sx, sz))
+                       spacing=(sx, sx, sz), transport_interp=interp)
 
     def grid_scene(n, n_march):
         f = dataclasses.replace(rasterize(n), n_march=n_march)
@@ -93,8 +104,9 @@ def main():
     # the measured lookup-rate scaling (tools/grid_gather_study.py: 780M
     # trilinear/s at 16^3 vs 229M at 32^3) extrapolates a 32^3 kernel to
     # ~3-6M paths/s
-    for n, m, r in ((16, 8, 32), (16, 16, 32)):
-        measure(grid_scene(n, m), f"grid_n{n}_march{m}_r{r}", tile_rows=r)
+    for n, m, r in sizes:
+        measure(grid_scene(n, m),
+                f"grid_n{n}_march{m}_r{r}_{interp}", tile_rows=r)
 
 
 if __name__ == "__main__":

@@ -690,6 +690,49 @@ def grid_density(fc, x):
     return c0 + (c1 - c0) * fx
 
 
+def grid_cell_nearest(fc, x):
+    """(base flat index, fz) of the xy-NEAREST / z-linear transport
+    interpolant (DensityField.transport_interp == "nearest"): x and y snap
+    to the nearest voxel center, z keeps the pair lerp the packed table
+    gives for free. ONE pair gather per evaluation instead of four — the
+    round-5 answer to the n>=24 gather wall (every per-gather alternative
+    is measured-refuted in tools/grid_lookup_v2_study.py; the pc transport
+    model's own O(t_far/M) march discretization dominates the sub-voxel
+    interpolation error this trades away)."""
+    nx, ny, nz = fc["dims"]
+    ox, oy, oz = fc["origin"]
+    sx, sy, sz = fc["spacing"]
+    ux = jnp.clip((x[0] - ox) * (1.0 / sx) - 0.5, 0.0, nx - 1.0)
+    uy = jnp.clip((x[1] - oy) * (1.0 / sy) - 0.5, 0.0, ny - 1.0)
+    uz = jnp.clip((x[2] - oz) * (1.0 / sz) - 0.5, 0.0, nz - 1.0)
+    rx = jnp.minimum((ux + 0.5).astype(jnp.int32), nx - 1)
+    ry = jnp.minimum((uy + 0.5).astype(jnp.int32), ny - 1)
+    iz = jnp.minimum(uz.astype(jnp.int32), nz - 2)
+    fz = jnp.clip(uz - iz.astype(jnp.float32), 0.0, 1.0)
+    base = (rx * ny + ry) * nz + iz
+    return base, fz
+
+
+def grid_density_nearest(fc, x):
+    """xy-nearest / z-linear density: one z-pair gather."""
+    base, fz = grid_cell_nearest(fc, x)
+    c0, c1 = grid_lookup_pair(fc["tab"], base)
+    return c0 + (c1 - c0) * fz
+
+
+def grid_pc_eval(fc, x):
+    """Density evaluation used by the canonical pc TRANSPORT model (tau
+    marches, the sampling inversion, pc score densities). The sampling pdf
+    and every transmittance weight derive from the same pc tau whichever
+    interpolant this picks, so the estimator stays self-consistent; only
+    the pc model's approximation of the continuous field changes.
+    APPEARANCE densities (sigma_s(xt) scale factors) stay trilinear
+    (grid_density) regardless."""
+    if fc.get("interp", "tri") == "nearest":
+        return grid_density_nearest(fc, x)
+    return grid_density(fc, x)
+
+
 def grid_window(fc, o, d):
     """media/density._grid_window, baked consts: (t0, t1) — constant head
     before the slab entry t0, M marched segments to the railing distance
@@ -756,14 +799,14 @@ def grid_tau_nonneg(fc, sigma_t, o, d, t):
 
     def body(i, acc):
         seg0, w, _ = _grid_seg(fc, t0, ta, tb, i)
-        rho = grid_density(fc, [o[j] + (seg0 + 0.5 * w) * d[j]
+        rho = grid_pc_eval(fc, [o[j] + (seg0 + 0.5 * w) * d[j]
                                 for j in range(3)])
         return acc + rho * jnp.clip(t - seg0, 0.0, w)
 
     acc = jax.lax.fori_loop(0, M, body, jnp.zeros_like(o[0]))
     h2 = (tb - ta) * (1.0 / float(M - grid_m_split(M)[0]))
-    rho_head = grid_density(fc, [o[j] + 0.5 * t0 * d[j] for j in range(3)])
-    d_inf = grid_density(fc, [o[j] + (tb + h2) * d[j] for j in range(3)])
+    rho_head = grid_pc_eval(fc, [o[j] + 0.5 * t0 * d[j] for j in range(3)])
+    d_inf = grid_pc_eval(fc, [o[j] + (tb + h2) * d[j] for j in range(3)])
     return sigma_t * (rho_head * jnp.minimum(t, t0) + acc
                       + d_inf * jnp.maximum(t - tb, 0.0))
 
@@ -780,7 +823,7 @@ def grid_pc_density(fc, o, d, t):
     kB = jnp.clip(jnp.floor((t - ta) / h2), 0.0, M2 - 1.0)
     t_mid = jnp.where(t < ta, t0 + (kA + 0.5) * h1, ta + (kB + 0.5) * h2)
     t_s = jnp.where(t < t0, 0.5 * t0, jnp.where(t > tb, tb + h2, t_mid))
-    return grid_density(fc, [o[j] + t_s * d[j] for j in range(3)])
+    return grid_pc_eval(fc, [o[j] + t_s * d[j] for j in range(3)])
 
 
 def grid_tau(fc, sigma_t, o, d, t, nonneg=False):
@@ -805,13 +848,13 @@ def grid_sample_free_and_tau(fc, sigma_t, o, d, u, t_cap):
     t0, ta, tb = grid_window(fc, o, d)
     tau_star = -jnp.log1p(-u)
     # constant head [0, t0] (slab approach): closed form
-    rho_head = grid_density(fc, [o[j] + 0.5 * t0 * d[j] for j in range(3)])
+    rho_head = grid_pc_eval(fc, [o[j] + 0.5 * t0 * d[j] for j in range(3)])
     tau_head = sigma_t * rho_head * t0
 
     def body(i, carry):
         cum, tau_cap, d_found = carry
         seg0, w, _ = _grid_seg(fc, t0, ta, tb, i)
-        rho = grid_density(fc, [o[j] + (seg0 + 0.5 * w) * d[j]
+        rho = grid_pc_eval(fc, [o[j] + (seg0 + 0.5 * w) * d[j]
                                 for j in range(3)])
         dtau = sigma_t * rho * w
         tau_cap = tau_cap + rho * jnp.clip(t_cap - seg0, 0.0, w)
@@ -827,7 +870,7 @@ def grid_sample_free_and_tau(fc, sigma_t, o, d, u, t_cap):
     in_head = tau_star < tau_head
     d_head = jnp.minimum(
         tau_star / jnp.maximum(sigma_t * rho_head, 1e-30), t0)
-    d_inf = grid_density(fc, [o[j] + (tb + h2) * d[j] for j in range(3)])
+    d_inf = grid_pc_eval(fc, [o[j] + (tb + h2) * d[j] for j in range(3)])
     rate = sigma_t * d_inf
     d_tail = tb + (tau_star - cum) / jnp.maximum(rate, 1e-30)
     d_nf = jnp.where(rate > 1e-20, jnp.minimum(d_tail, BIG), BIG)
@@ -1069,28 +1112,41 @@ def grid_pc_point(fc, o, d, t):
     t_mid = jnp.where(t < ta, t0 + (kA + 0.5) * h1, ta + (kB + 0.5) * h2)
     t_s = jnp.where(t < t0, 0.5 * t0, jnp.where(t > tb, tb + h2, t_mid))
     x = [o[j] + t_s * d[j] for j in range(3)]
-    return x, grid_density(fc, x)
+    return x, grid_pc_eval(fc, x)
 
 
-def grid_scatter_point(fc, x, w, gacc):
-    """gacc (C, 128) += sum over lanes of w * d(trilinear(x))/d(voxels).
+def grid_scatter_point(fc, x, w, gacc, interp=None):
+    """gacc (C, 128) += sum over lanes of w * d(interp(x))/d(voxels).
 
     x: 3 lane arrays (R, 128); w: per-lane weight (0 = masked out).
-    One MXU matmul per call (see the block comment above)."""
+    One MXU matmul per call (see the block comment above). `interp`
+    overrides fc["interp"] (pass "tri" when scattering an APPEARANCE
+    trilinear factor in a nearest-transport scene); the pc-model chains
+    must differentiate the interpolant the forward actually evaluated,
+    so they default to the fc setting — under "nearest" only the z-pair
+    of the snapped column carries weight (2 one-hot rows per chunk
+    instead of 8: the backward matmul shrinks 4x with the gather count)."""
     C = gacc.shape[0]
     nz = fc["dims"][2]
     snx = fc["dims"][1] * nz
-    base, fx, fy, fz = grid_cell(fc, x)
-    R = base.shape[0]
-    offs = (0, 1, nz, nz + 1, snx, snx + 1, snx + nz, snx + nz + 1)
-    cw = []
-    for a in (0, 1):
-        wa = fx if a else (1.0 - fx)
-        for b in (0, 1):
-            wb = fy if b else (1.0 - fy)
-            for c in (0, 1):
-                wc_ = fz if c else (1.0 - fz)
-                cw.append(w * wa * wb * wc_)
+    R = x[0].shape[0]
+    if interp is None:
+        interp = fc.get("interp", "tri")
+    if interp == "nearest":
+        base, fz = grid_cell_nearest(fc, x)
+        offs = (0, 1)
+        cw = [w * (1.0 - fz), w * fz]
+    else:
+        base, fx, fy, fz = grid_cell(fc, x)
+        offs = (0, 1, nz, nz + 1, snx, snx + 1, snx + nz, snx + nz + 1)
+        cw = []
+        for a in (0, 1):
+            wa = fx if a else (1.0 - fx)
+            for b in (0, 1):
+                wb = fy if b else (1.0 - fy)
+                for c in (0, 1):
+                    wc_ = fz if c else (1.0 - fz)
+                    cw.append(w * wa * wb * wc_)
     lo0 = jnp.bitwise_and(base, jnp.int32(127))
     # one-hot of the base lane index, per sublane row -> (R*128, 128)
     col = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)

@@ -119,6 +119,7 @@ def _scene_consts(scene: Scene):
             "cap": float(fld.march_extent) * diag,
             "n_march": int(fld.n_march),
             "majorant": float(fld.majorant),
+            "interp": str(fld.transport_interp),
             "tab": None,        # bound to the loaded VMEM table in-kernel
         }
     else:

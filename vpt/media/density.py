@@ -102,6 +102,15 @@ class DensityField:
     # constant along the ray even if a slow coordinate has not railed yet
     march_extent: float = dataclasses.field(default=4.0,
                                             metadata=dict(static=True))
+    # pc TRANSPORT model interpolant (kind == "grid"): "tri" = trilinear
+    # (round-4 behavior), "nearest" = xy-nearest / z-linear — ONE table
+    # gather per pc evaluation instead of four, the round-5 answer to the
+    # n>=24 gather wall (tools/grid_lookup_v2_study.py). Appearance
+    # densities (density(field, x)) stay trilinear either way; sampling
+    # pdf and all transmittance weights share the pc tau, so the
+    # estimator is self-consistent under both settings.
+    transport_interp: str = dataclasses.field(default="tri",
+                                              metadata=dict(static=True))
 
 
 def exp_height(k: float, y0: float, majorant: float,
@@ -122,6 +131,7 @@ def blobs(rows, majorant: float | None = None,
 
 def grid(values, origin, spacing, majorant: float | None = None,
          max_null: int = 64, n_march: int = 32,
+         transport_interp: str = "tri",
          dtype=jnp.float32) -> DensityField:
     """Voxel-grid density (the production field type: baked clouds/smoke).
     values: (nx, ny, nz) densities at voxel CENTERS, trilinearly
@@ -141,10 +151,14 @@ def grid(values, origin, spacing, majorant: float | None = None,
                          f"got {v.shape}")
     if majorant is None:
         majorant = float(np.max(np.asarray(values, np.float64))) * 1.001
+    if transport_interp not in ("tri", "nearest"):
+        raise ValueError(f"transport_interp must be 'tri' or 'nearest', "
+                         f"got {transport_interp!r}")
     return DensityField(
         params=v, kind=GRID, majorant=float(majorant), max_null=max_null,
         grid_origin=tuple(float(x) for x in origin),
-        grid_spacing=tuple(float(x) for x in spacing), n_march=n_march)
+        grid_spacing=tuple(float(x) for x in spacing), n_march=n_march,
+        transport_interp=transport_interp)
 
 
 def density(field: DensityField, x: jnp.ndarray) -> jnp.ndarray:
@@ -392,11 +406,11 @@ def _grid_tau_nonneg(field: DensityField, sigma_t, o, d, t):
     [t0, tb], constant tail beyond tb."""
     t0, ta, tb, h2, seg0, w = _grid_segments(field, o, d)
     pts = o[None] + (seg0 + 0.5 * w)[..., None] * d[None]
-    dens = density(field, pts)                            # (M, ...)
+    dens = _pc_eval(field, pts)                           # (M, ...)
     overlap = jnp.clip(t[None] - seg0, 0.0, w)
     tau_march = jnp.sum(dens * overlap, axis=0)
-    rho_head = density(field, o + (0.5 * t0)[..., None] * d)
-    d_inf = density(field, o + (tb + h2)[..., None] * d)
+    rho_head = _pc_eval(field, o + (0.5 * t0)[..., None] * d)
+    d_inf = _pc_eval(field, o + (tb + h2)[..., None] * d)
     return sigma_t * (rho_head * jnp.minimum(t, t0) + tau_march
                       + d_inf * jnp.maximum(t - tb, 0.0))
 
@@ -417,7 +431,30 @@ def grid_pc_density(field: DensityField, o, d, t):
     t_mid = jnp.where(t < ta, t0 + (kA + 0.5) * h1, ta + (kB + 0.5) * h2)
     # head / body / tail sample point, one trilinear eval
     t_s = jnp.where(t < t0, 0.5 * t0, jnp.where(t > tb, tb + h2, t_mid))
-    return density(field, o + t_s[..., None] * d)
+    return _pc_eval(field, o + t_s[..., None] * d)
+
+
+def _pc_eval(field: DensityField, x: jnp.ndarray) -> jnp.ndarray:
+    """Density evaluation of the pc TRANSPORT model (kernels/prims.
+    grid_pc_eval mirror): trilinear, or xy-nearest / z-linear under
+    transport_interp == "nearest". Appearance densities use density()."""
+    if field.kind != GRID or field.transport_interp != "nearest":
+        return density(field, x)
+    g = field.params
+    nx, ny, nz = g.shape
+    org = jnp.asarray(field.grid_origin, g.dtype)
+    spc = jnp.asarray(field.grid_spacing, g.dtype)
+    u = (x - org) / spc - 0.5
+    u = jnp.clip(u, 0.0, jnp.asarray([nx - 1, ny - 1, nz - 1], g.dtype))
+    rx = jnp.minimum((u[..., 0] + 0.5).astype(jnp.int32), nx - 1)
+    ry = jnp.minimum((u[..., 1] + 0.5).astype(jnp.int32), ny - 1)
+    iz = jnp.minimum(u[..., 2].astype(jnp.int32), nz - 2)
+    fz = jnp.clip(u[..., 2] - iz.astype(g.dtype), 0.0, 1.0)
+    flat = g.reshape(-1)
+    base = (rx * ny + ry) * nz + iz
+    c0 = jnp.take(flat, base)
+    c1 = jnp.take(flat, base + 1)
+    return c0 + (c1 - c0) * fz
 
 
 def transmittance_between(field: DensityField, sigma_t, x1, x2,
@@ -506,10 +543,10 @@ def _sample_grid_march(field: DensityField, sigma_t, o, d, u, t_cap):
     # would promote the whole lane state through d_s
     tau_star = -jnp.log1p(-u.astype(o.dtype))
     # constant head [0, t0]
-    rho_head = density(field, o + (0.5 * t0)[..., None] * d)
+    rho_head = _pc_eval(field, o + (0.5 * t0)[..., None] * d)
     tau_head = sigma_t * rho_head * t0
     pts = o[None] + (seg0 + 0.5 * w)[..., None] * d[None]
-    dens = density(field, pts)                            # (M, ...)
+    dens = _pc_eval(field, pts)                           # (M, ...)
     dtau = sigma_t * dens * w
     cum = tau_head[None] + jnp.cumsum(dtau, axis=0)
     prev = cum - dtau
@@ -523,7 +560,7 @@ def _sample_grid_march(field: DensityField, sigma_t, o, d, u, t_cap):
     in_head = tau_star < tau_head
     d_head = tau_star / jnp.maximum(sigma_t * rho_head, 1e-30)
     # tail: constant density d_inf beyond tb
-    d_inf = density(field, o + (tb + h2)[..., None] * d)
+    d_inf = _pc_eval(field, o + (tb + h2)[..., None] * d)
     rate = sigma_t * d_inf
     tau_left = tau_star - cum[-1]
     d_tail = tb + tau_left / jnp.maximum(rate, 1e-30)
