@@ -474,9 +474,6 @@ def test_diff_grid_guards():
     with pytest.raises(ValueError, match="tile_rows"):
         make_diff_renderer(sc, CAM, W, H, SPP, diff_grid=True,
                            tile_rows=32, interpret=True)
-    with pytest.raises(NotImplementedError, match="free-flight"):
-        make_diff_renderer(sc, CAM, W, H, SPP, diff_grid=True, tile_rows=8,
-                           distance="equiangular", interpret=True)
     with pytest.raises(ValueError, match="voxel-grid"):
         make_diff_renderer(SCENE, CAM, W, H, SPP, diff_grid=True,
                            tile_rows=8, interpret=True)
@@ -499,6 +496,57 @@ def test_diff_grid_voxel_grads_match_crn_fd(grid_pair):
     loss = jax.jit(lambda pp, s: jnp.mean(rg(pp, s)))
     gfn = jax.jit(jax.grad(lambda pp, s: jnp.mean(rg(pp, s))))
     g0 = np.asarray(gfn(pg, jnp.int32(11))["grid"])
+    vox = np.unravel_index(np.argmax(np.abs(g0)), g0.shape)
+    h, K = 0.1, 20
+    gs_, fds = [], []
+    for k in range(K):
+        s = jnp.int32(4000 + k)
+        gs_.append(float(gfn(pg, s)["grid"][vox]))
+        pp = dict(pg)
+        pm = dict(pg)
+        pp["grid"] = pg["grid"].at[vox].add(h)
+        pm["grid"] = pg["grid"].at[vox].add(-h)
+        fds.append((float(loss(pp, s)) - float(loss(pm, s))) / (2 * h))
+    gm, gse = np.mean(gs_), np.std(gs_) / np.sqrt(K)
+    fm, fse = np.mean(fds), np.std(fds) / np.sqrt(K)
+    tol = 4.0 * np.hypot(gse, fse) + 0.1 * max(abs(gm), abs(fm))
+    assert np.isfinite([gm, fm]).all()
+    assert abs(gm - fm) < tol, (vox, gm, gse, fm, fse)
+
+
+@pytest.fixture(scope="module")
+def grid_pair_ea():
+    """diff_grid through the EQUI-ANGULAR family (round 5): Bernoulli(Tr)
+    event scores + the explicit T/pSuccess/dens(xt) value chains."""
+    sc = grid_cloud()
+    rg = make_diff_renderer(sc, CAM, W, H, SPP, max_bounces=8, tile_rows=8,
+                            interpret=True, diff_grid=True,
+                            distance="equiangular")
+    return sc, rg
+
+
+def test_diff_grid_ea_fwd_matches_baked_kernel(grid_pair_ea):
+    sc, rg = grid_pair_ea
+    img = np.asarray(rg(pack_params(sc, with_grid=True), 3))
+    run_ref = build_tile_renderer(sc, CAM, W, H, SPP, max_bounces=8,
+                                  tile_rows=8, distance="equiangular",
+                                  interpret=True)
+    ref = np.asarray(run_ref(3))
+    assert np.isfinite(img).all()
+    assert np.abs(img - ref).max() < 1e-6
+
+
+@pytest.mark.slow
+def test_diff_grid_ea_voxel_grads_match_crn_fd(grid_pair_ea):
+    """EA voxel gradients vs CRN central FD of the pair's own forward
+    (the free-flight gate's idiom; Bernoulli flips supply the score mass,
+    the T/pSuccess/dens chains the smooth mass)."""
+    sc, rg = grid_pair_ea
+    pg = pack_params(sc, with_grid=True)
+    loss = jax.jit(lambda pp, s: jnp.mean(rg(pp, s)))
+    gfn = jax.jit(jax.grad(lambda pp, s: jnp.mean(rg(pp, s))))
+    g0 = np.asarray(gfn(pg, jnp.int32(11))["grid"])
+    assert np.isfinite(g0).all()
     vox = np.unravel_index(np.argmax(np.abs(g0)), g0.shape)
     h, K = 0.1, 20
     gs_, fds = [], []

@@ -205,16 +205,14 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
     grid_mode = fc is not None and fc["kind"] == "grid"
     if diff_grid:
         # voxel-value gradients: per-sample two-phase replay backward +
-        # MXU one-hot scatter (prims.grid_scatter_point). Free-flight
-        # only (the EA family's T/pSuccess/dens(xt) factors would each
-        # need their own scatter chains, like diff_field).
+        # MXU one-hot scatter (prims.grid_scatter_point). Round 5: BOTH
+        # distance families — free-flight scatters the pc event scores
+        # (rho_pc + optical paths), equi-angular scatters the Bernoulli
+        # (Tr) event scores plus the explicit T/pSuccess/dens(xt) value
+        # chains (vptShadeMethods.h:1134-1146 in voxel-gradient form).
         if not grid_mode:
             raise ValueError(
                 "diff_grid=True needs a voxel-grid Medium.density")
-        if distance != "free":
-            raise NotImplementedError(
-                "diff_grid is free-flight-only (EA tau factors would "
-                "need their own scatter chains)")
         if tile_rows != 8:
             raise ValueError(
                 "diff_grid needs tile_rows=8 (the scatter one-hot is "
@@ -760,7 +758,7 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                     wL0 = wt_l[0] * Lps[0] + wt_l[1] * Lps[1] + wt_l[2] * Lps[2]
                     acc["A_st"] += k_sc
                     acc["B_st"] += k_sc * wL0
-                    if diff_grid:
+                    if diff_grid and distance == "free":
                         # voxel event scores, IMMEDIATE (phase B knows the
                         # sample's wLtot): dlog P(surf)/dv = -sigma dI(t)/dv;
                         # dlog p(d)/dv = dlog rho_pc(d)/dv - sigma dI(d)/dv.
@@ -784,6 +782,21 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                                       w_sc / jnp.maximum(rho_pc, 1e-30),
                                       0.0),
                             acc["g_grid"])
+                    elif diff_grid:
+                        # EA Bernoulli(Tr) event scores (round 5): the EA
+                        # distance pdf is pure geometry, so the only event
+                        # log-density voxel terms are dlog Tr/dv =
+                        # -sigma dI(t)/dv (surface) and dlog(1-Tr)/dv =
+                        # +sigma dI(t)/dv Tr/(1-Tr) (medium). One march.
+                        w_sc = jnp.where(phB & (shade_pre | medium),
+                                         acc["wLtot"] - wL0, 0.0)
+                        w_ev = jnp.where(
+                            shade_pre, -sigma_t * w_sc,
+                            jnp.where(medium & hit,
+                                      sigma_t * w_sc * tr_act / one_m_tr,
+                                      0.0))
+                        acc["g_grid"] = pr.grid_march_scatter(
+                            fck, o, d, w_ev, t_det0, z, z, acc["g_grid"])
                     if n_fp and distance == "free":
                         # field-param event scores: dlog p(d)/dtheta =
                         # dlog dens(x_d)/dtheta - sigma dI(d)/dtheta
@@ -937,7 +950,8 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                     if fc is not None:
                         # sigma_s(xt) = sigma_s * dens(xt); dens is
                         # sigma-independent so med_dsig is unchanged in form
-                        med_scale = med_scale * pr.field_density(fck, xt)
+                        dens_xt = pr.field_density(fck, xt)
+                        med_scale = med_scale * dens_xt
                     med_dsig = -att_along - att_t * tr_act / one_m_tr
                     if n_fp:
                         # EA medium value factors: t_xt = e^{-sigma|I|}
@@ -1033,6 +1047,43 @@ def make_diff_renderer(scene: Scene, camera, width: int, height: int,
                             k_f = jnp.where(medium, med_dfp[f], 0.0)
                             acc[f"A_fp_{f}"] += k_f
                             acc[f"B_fp_{f}"] += k_f * wL1
+                    if diff_grid and distance != "free":
+                        # EA med_scale value-factor voxel chains (round 5).
+                        # med_scale enters this bounce's NEE (already
+                        # loss-weighted in gx) and every FUTURE emission
+                        # (wLtot - wL1, known in phase B) — table-sized
+                        # params cannot ride the deferred A/B pairs, so
+                        # scatter immediately with the explicit adjoint.
+                        adjv = jnp.where(
+                            phB & medium,
+                            (gx if nee else z) + acc["wLtot"] - wL1, 0.0)
+                        # t_xt = e^{-sigma |I(d_along)|}: -sigma d|I|/dv.
+                        # |I| marches the forward ray for I >= 0 lanes and
+                        # the REVERSED ray for EA samples behind the origin
+                        # (field_tau's odd-in-t convention).
+                        w_pos = jnp.where(I_along >= 0.0,
+                                          -sigma_t * adjv, 0.0)
+                        w_neg = jnp.where(I_along < 0.0,
+                                          -sigma_t * adjv, 0.0)
+                        # 1/pSuccess = 1/(pdf (1-Tr)): dlog/dv =
+                        # -sigma dI(t)/dv Tr/(1-Tr); same ray as the
+                        # forward-side t_xt chain -> merged march (wA/wB)
+                        w_ps = -sigma_t * adjv * tr_act / one_m_tr
+                        acc["g_grid"] = pr.grid_march_scatter(
+                            fck, o, d, w_pos, jnp.maximum(d_along, 0.0),
+                            w_ps, t_det0, acc["g_grid"])
+                        acc["g_grid"] = pr.grid_march_scatter(
+                            fck, o, [-d[0], -d[1], -d[2]], w_neg,
+                            jnp.maximum(-d_along, 0.0), z, z,
+                            acc["g_grid"])
+                        # sigma_s(xt) = sigma_s dens(xt): appearance
+                        # TRILINEAR scatter at the scatter point
+                        xt_dg = [jnp.where(medium, xt[j], 0.0)
+                                 for j in range(3)]
+                        acc["g_grid"] = pr.grid_scatter_point(
+                            fck, xt_dg,
+                            adjv / jnp.maximum(dens_xt, 1e-30),
+                            acc["g_grid"], interp="tri")
                     if diff_g:
                         # phase-draw score d/dg log p(cos|g): the sampled
                         # direction is detached, the draw's g-dependence
