@@ -31,6 +31,20 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--size", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="base seed: offsets the target render and every "
+                         "block's draw streams (the round-5 multi-seed "
+                         "reproducibility table sweeps this)")
+    ap.add_argument("--views", type=int, default=2, choices=(1, 2),
+                    help="2 (default) adds a close-up view of the "
+                         "fog-shrouded sphere for the material block: the "
+                         "single-view albedo r/g channels are "
+                         "noise-dominated and wander run to run "
+                         "(BASELINE.md round-4 caveat); the second view "
+                         "supplies the missing photons. --views 1 "
+                         "reproduces the round-4 single-view config")
+    ap.add_argument("--json", action="store_true",
+                    help="emit one machine-readable result line at the end")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -54,10 +68,11 @@ def main():
 
     truth = vpt.cornell_vpt()
     cam = vpt.default_camera()
+    SEED = args.seed
     t0 = time.time()
     target = np.asarray(
         build_tile_renderer(truth, cam, W, H, spp_t, max_bounces=16,
-                            sampler="ld", interpret=interp)(99)
+                            sampler="ld", interpret=interp)(99 + SEED)
     ).reshape(H, W, 3) / 1.0
     print(f"target rendered ({W}x{H}x{spp_t}spp) in {time.time()-t0:.1f}s")
 
@@ -85,6 +100,23 @@ def main():
 
     report("init")
 
+    # second view (round 5): the sphere sits fog-shrouded from the main
+    # camera (sigma_t ~ 0.0103, ~150 units of haze) — its r/g reflectance
+    # moves so few photons that single-view albedo estimates random-walk
+    # (0.03 one seed, 0.61 another; BASELINE.md round-4 caveat). A
+    # close-up camera ~55 units out cuts the optical depth ~3x and pins
+    # the channels.
+    if args.views == 2:
+        from vpt.scene import camera as cam_mod
+        sc_c = np.asarray(truth.center[SPHERE])
+        cam2 = cam_mod.look_at(tuple(sc_c + np.asarray([-20.0, 18.0, 50.0])),
+                               tuple(sc_c))
+        target2 = np.asarray(
+            build_tile_renderer(truth, cam2, W, H, spp_t, max_bounces=16,
+                                sampler="ld", interpret=interp)(77 + SEED)
+        ).reshape(H, W, 3)
+        print(f"second view rendered in {time.time()-t0:.1f}s")
+
     def material_filter(p, init):
         # recover sigma + THE sphere's albedo; walls/lights stay known
         out = dict(init)
@@ -109,25 +141,35 @@ def main():
         labels = {"sigma_a": "sig", "sigma_s": "sig", "albedo": "alb",
                   "radiance": "frozen"}
         # sigma: fast converger — decay hard (oscillates otherwise).
-        # albedo: LOW-SIGNAL (the sphere sits fog-shrouded; its r/g
-        # reflectance moves few photons) — needs its rate SUSTAINED:
-        # decaying it froze r/g at ~0.35 from the 0.5 init while the
-        # well-lit b channel converged
+        # albedo: LOW-SIGNAL from the main camera — its rate stays
+        # sustained, and with --views 2 the close-up view supplies the
+        # photons that make the channel estimates stable across seeds
         opt = optax.multi_transform(
             {"sig": optax.adam(optax.exponential_decay(1.5e-3 * dec, 25,
                                                        0.7)),
              "alb": optax.adam(2.5e-2),
              "frozen": optax.set_to_zero()}, labels)
-        step = make_kernel_train_step(est, cam, W, H, spp_m, opt,
-                                      max_bounces=16, sampler="ld",
-                                      interpret=interp)
+        if args.views == 2:
+            from vpt.dist.train_fast import make_multiview_train_step
+            step2 = make_multiview_train_step(
+                est, [cam, cam2], W, H, spp_m, opt, max_bounces=16,
+                sampler="ld", log_medium=False, interpret=interp)
+            tgt_flat = jnp.stack([
+                jnp.asarray(target.reshape(-1, 3), jnp.float32),
+                jnp.asarray(target2.reshape(-1, 3), jnp.float32)])
+            step = lambda p, st, t, sd: step2(p, st, t, None, sd)
+        else:
+            step1 = make_kernel_train_step(est, cam, W, H, spp_m, opt,
+                                           max_bounces=16, sampler="ld",
+                                           interpret=interp)
+            tgt_flat = jnp.asarray(target.reshape(-1, 3), jnp.float32)
+            step = lambda p, st, t, sd: step1(p, st, t, sd)
         params = pack_params(est)
         opt_state = opt.init(params)
-        tgt_flat = jnp.asarray(target.reshape(-1, 3), jnp.float32)
         alb0 = params["albedo"]
         for i in range(steps):
             params, opt_state, _ = step(params, opt_state, tgt_flat,
-                                        2000 * r + i)
+                                        10000 * SEED + 2000 * r + i)
             # only THE sphere's albedo is unknown; walls stay pinned
             params["albedo"] = alb0.at[SPHERE].set(
                 params["albedo"][SPHERE])
@@ -147,7 +189,7 @@ def main():
             learning_rate=optax.exponential_decay(max(0.5 * dec, 0.3), 25,
                                                   0.85),
             max_bounces=16,
-            sampler="ld", seed=100 + r, interpret=interp,
+            sampler="ld", seed=100 + 17 * SEED + r, interpret=interp,
             param_filter=geom_filter,
             log_every=0)
         return dataclasses.replace(
@@ -177,6 +219,16 @@ def main():
     print(f"  light[{LIGHT}]  {np.asarray(est.center[LIGHT]).round(2)}  "
           f"true {np.asarray(truth.center[LIGHT]).round(2)}")
     print(f"  wall clock {time.time()-t0:.1f}s")
+    if args.json:
+        import json
+        print(json.dumps({
+            "seed": SEED, "views": args.views,
+            "sigma_a": float(est.medium.sigma_a),
+            "sigma_s": float(est.medium.sigma_s),
+            "albedo": [float(v) for v in np.asarray(est.albedo[SPHERE])],
+            "light_err": float(jnp.linalg.norm(
+                est.center[LIGHT] - truth.center[LIGHT])),
+            "wall_s": round(time.time() - t0, 1)}))
 
 
 if __name__ == "__main__":

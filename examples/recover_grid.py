@@ -45,6 +45,17 @@ def main():
     ap.add_argument("--reg-l1", type=float, default=2e-3,
                     help="L1 sparsity prior (see dist/tomography.py: "
                          "zero-signal voxels random-walk without it)")
+    ap.add_argument("--reg-tv", type=float, default=0.0,
+                    help="total-variation smoothness prior (round 5): "
+                         "flattens salt-and-pepper noise inside the cloud")
+    ap.add_argument("--interp", choices=("tri", "nearest"), default="tri",
+                    help="pc transport interpolant; 'nearest' is ~3-7x "
+                         "faster at n>=24 (BASELINE.md round 5)")
+    ap.add_argument("--distance", choices=("free", "equiangular"),
+                    default="free",
+                    help="distance-sampling family for the training "
+                         "renders (the reference's research question in "
+                         "voxel-gradient form)")
     args = ap.parse_args()
 
     import numpy as np
@@ -75,17 +86,28 @@ def main():
     maj = float(vals_true.max()) * 1.3
 
     def with_field(vals):
-        f = df.grid(vals, origin=org, spacing=sp, majorant=maj)
+        f = df.grid(vals, origin=org, spacing=sp, majorant=maj,
+                    transport_interp=args.interp)
         return dataclasses.replace(
             base, medium=Medium(base.medium.sigma_a, base.medium.sigma_s,
                                 0.0, f))
 
+    # views 7-12 (round 5): top-down/bottom-up profile-resolving and
+    # reverse geometry — few-view tomography is under-determined, and the
+    # round-4 multi-view study showed view DIVERSITY targets specific
+    # degeneracies (frontal-only cannot resolve the depth profile)
     cams = [vpt.default_camera(),
             cam_mod.look_at((150, 30, 170), (0, 0, 170)),
             cam_mod.look_at((-140, -20, 175), (0, 0, 170)),
             cam_mod.look_at((80, 90, 120), (0, 0, 170)),
             cam_mod.look_at((-90, 70, 240), (0, 0, 170)),
-            cam_mod.look_at((40, -60, 100), (0, 0, 170))][:args.views]
+            cam_mod.look_at((40, -60, 100), (0, 0, 170)),
+            cam_mod.look_at((5, 160, 172), (0, 0, 172)),
+            cam_mod.look_at((-10, -150, 170), (0, 5, 170)),
+            cam_mod.look_at((10, 20, 330), (0, 0, 172)),
+            cam_mod.look_at((120, -90, 230), (0, 0, 170)),
+            cam_mod.look_at((-120, 110, 120), (0, 0, 170)),
+            cam_mod.look_at((60, 140, 250), (0, 0, 170))][:args.views]
 
     spec = engine.IntegratorSpec(max_bounces=8)
     ids = jnp.arange(W * H, dtype=jnp.int32)
@@ -119,6 +141,7 @@ def main():
                            steps=args.steps, spp=args.spp,
                            learning_rate=args.lr, max_bounces=8, seed=7,
                            backend=args.backend, reg_l1=args.reg_l1,
+                           reg_tv=args.reg_tv, distance=args.distance,
                            log_every=max(args.steps // 10, 1))
     dt = time.time() - t0
 

@@ -73,6 +73,39 @@ if mode == "smoke":
     print(f"[{pid}] smoke ok total={total}", flush=True)
     sys.exit(0)
 
+if mode == "kernel":
+    # round 5 (VERDICT #7): the PRODUCTION fast path across process
+    # boundaries — interpret-mode fused diff pair under shard_map on the
+    # 2-process gloo mesh (make_sharded_kernel_train_step), the last
+    # distributed configuration this rig can express. Loss must match the
+    # single-process run of the identical program (pure re-partitioning).
+    import optax  # noqa: E402
+
+    import vpt  # noqa: E402
+    from vpt.dist.train_fast import make_sharded_kernel_train_step  # noqa: E402
+    from vpt.kernels.diff import pack_params  # noqa: E402
+
+    scene = vpt.cornell_vpt()
+    camera = vpt.default_camera()
+    W, H = 16, 16
+    opt = optax.adam(1e-2)
+    params = pack_params(scene)
+    opt_state = opt.init(params)
+    target = jnp.zeros((W * H, 3), jnp.float32)
+    step = make_sharded_kernel_train_step(
+        scene, camera, W, H, spp=4, optimizer=opt, mesh=mesh,
+        max_bounces=6, tile_rows=8, interpret=True)
+    p2, opt_state, loss = step(params, opt_state, target, 0)
+    loss = float(fetch_replicated(loss))
+    finite = all(np.isfinite(fetch_replicated(v)).all()
+                 for v in jax.tree_util.tree_leaves(p2))
+    moved = bool(abs(float(fetch_replicated(p2["sigma_s"]))
+                     - float(np.asarray(params["sigma_s"]))) > 0)
+    np.savez(out, loss=loss, finite=finite, moved=moved,
+             nproc=jax.process_count(), ndev=jax.device_count())
+    print(f"[{pid}] kernel ok loss={loss} finite={finite}", flush=True)
+    sys.exit(0)
+
 # mode == "full": sharded render -> DCN image assembly -> SPMD train steps
 import optax  # noqa: E402
 

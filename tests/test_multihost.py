@@ -80,6 +80,24 @@ def test_two_process_collectives_smoke(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_kernel_train_matches_single_process(tmp_path):
+    """Round 5 (VERDICT #7): the production fast path
+    (make_sharded_kernel_train_step — fused diff pair under shard_map with
+    psum'd loss/grads) across 2 PROCESSES, interpret mode, vs the
+    single-process 8-device run of the identical program."""
+    multi = _launch("kernel", 2, tmp_path, timeout=2400)
+    single = _launch("kernel", 1, tmp_path, timeout=2400, tag="s")[0]
+    for r in multi:
+        assert bool(r["finite"]) and bool(r["moved"])
+        assert int(r["ndev"]) == 8
+    assert np.isclose(float(multi[0]["loss"]), float(multi[1]["loss"]),
+                      rtol=0, atol=0)
+    assert np.isclose(float(multi[0]["loss"]), float(single["loss"]),
+                      rtol=1e-5, atol=1e-8), \
+        (float(multi[0]["loss"]), float(single["loss"]))
+
+
+@pytest.mark.slow
 def test_two_process_render_and_train_match_single_process(tmp_path):
     """The full product path across 2 processes — render_sharded +
     assemble_image + 2 SPMD train steps — agrees with the single-process
