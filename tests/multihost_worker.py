@@ -79,6 +79,42 @@ if mode == "kernel":
     # 2-process gloo mesh (make_sharded_kernel_train_step), the last
     # distributed configuration this rig can express. Loss must match the
     # single-process run of the identical program (pure re-partitioning).
+    #
+    # HARNESS PATCH (upstream single-controller assumption): interpret-
+    # mode Pallas sizes its simulated-shared-memory thread barriers by the
+    # GLOBAL device count (threading.Barrier(num_devices),
+    # jax/_src/pallas/mosaic/interpret/interpret_pallas_call.py) — under
+    # multi-controller each process only runs its LOCAL shards, so the
+    # barrier can never fill and every worker deadlocks (observed:
+    # io_callback threads parked in _barrier). Our per-device kernels do
+    # no cross-device DMAs/semaphores — each pallas_call is independent,
+    # the only collective is the XLA psum OUTSIDE the kernel — so
+    # localizing the barrier to the process's own device threads is
+    # semantically sound here. TPU hardware has no such barrier; this
+    # touches the CPU interpreter only.
+    import threading  # noqa: E402
+
+    from jax._src.pallas.mosaic.interpret import (  # noqa: E402
+        interpret_pallas_call as _ipc,
+    )
+
+    _orig_init = _ipc._initialize_shared_memory
+
+    def _localized_init(device_id, num_devices, num_cores_per_device, *,
+                        interpret_params):
+        _orig_init(device_id, num_devices, num_cores_per_device,
+                   interpret_params=interpret_params)
+        sm = _ipc._get_shared_memory()
+        local_n = jax.local_device_count()
+        if sm.num_devices > local_n and not getattr(sm, "_localized", False):
+            sm.barrier = threading.Barrier(
+                local_n, action=_ipc._update_clocks_for_global_barrier)
+            sm.clean_up_barrier = threading.Barrier(
+                local_n, action=_ipc._clear_shared_memory)
+            sm._localized = True
+
+    _ipc._initialize_shared_memory = _localized_init
+
     import optax  # noqa: E402
 
     import vpt  # noqa: E402
@@ -87,21 +123,34 @@ if mode == "kernel":
 
     scene = vpt.cornell_vpt()
     camera = vpt.default_camera()
-    W, H = 16, 16
-    opt = optax.adam(1e-2)
+    W, H = 8, 8       # dryrun-sized: the interpret diff-pair compile is
+    opt = optax.adam(1e-2)   # minutes even at tiny shapes; W=16 wedged
     params = pack_params(scene)
     opt_state = opt.init(params)
     target = jnp.zeros((W * H, 3), jnp.float32)
     step = make_sharded_kernel_train_step(
-        scene, camera, W, H, spp=4, optimizer=opt, mesh=mesh,
-        max_bounces=6, tile_rows=8, interpret=True)
+        scene, camera, W, H, spp=2, optimizer=opt, mesh=mesh,
+        max_bounces=3, tile_rows=8, interpret=True)
     p2, opt_state, loss = step(params, opt_state, target, 0)
+    p2, opt_state, loss2 = step(p2, opt_state, target, 1)
     loss = float(fetch_replicated(loss))
     finite = all(np.isfinite(fetch_replicated(v)).all()
                  for v in jax.tree_util.tree_leaves(p2))
-    moved = bool(abs(float(fetch_replicated(p2["sigma_s"]))
-                     - float(np.asarray(params["sigma_s"]))) > 0)
-    np.savez(out, loss=loss, finite=finite, moved=moved,
+    # any-leaf motion over two steps, computed ON DEVICE as a replicated
+    # reduction: per-process host fetches of individual updated leaves
+    # proved flaky on the non-coordinator process, while the replicated
+    # jit value is consistent across processes by construction
+
+    @jax.jit
+    def _max_delta(a, b):
+        ds = [jnp.max(jnp.abs(x.astype(jnp.float32) - y))
+              for x, y in zip(jax.tree_util.tree_leaves(a),
+                              jax.tree_util.tree_leaves(b))]
+        return jnp.max(jnp.stack(ds))
+
+    moved = float(fetch_replicated(_max_delta(params, p2))) > 0.0
+    np.savez(out, loss=loss, loss2=float(fetch_replicated(loss2)),
+             finite=finite, moved=moved,
              nproc=jax.process_count(), ndev=jax.device_count())
     print(f"[{pid}] kernel ok loss={loss} finite={finite}", flush=True)
     sys.exit(0)

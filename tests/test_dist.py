@@ -330,3 +330,39 @@ def test_sharded_kernel_train_step_grid_voxel_grads():
     l4, g4 = results[4]
     assert np.isclose(l1, l4, rtol=1e-5, atol=1e-8), (l1, l4)
     assert np.allclose(g1, g4, rtol=1e-4, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_sharded_kernel_train_step_multi_active_shards_stay_replicated():
+    """Round-5 regression for the missing grad all-reduce: under
+    check_vma=False the loss psum's transpose does NOT re-reduce
+    cotangents, so each device got only its own shard's partial gradient
+    and the replicas silently diverged. Every earlier test used frames
+    that fit ONE shard's tile (the other shards had no pixels and zero
+    grads), which hid it; this frame spans 2 tiles so two shards carry
+    real gradients. Asserts bitwise replica equality across devices and
+    D=2 == D=1."""
+    from vpt.dist.train_fast import make_sharded_kernel_train_step
+    from vpt.kernels.diff import pack_params
+
+    W, H = 64, 32          # 2048 px = 2 tiles at tile_rows=8
+    params = pack_params(SCENE)
+    target = jnp.zeros((W * H, 3), jnp.float32)
+    out = {}
+    for nd in (1, 2):
+        optimizer = optax.adam(1e-2)
+        opt_state = optimizer.init(params)
+        mesh = make_mesh(jax.devices()[:nd], sample_shards=1)
+        step = make_sharded_kernel_train_step(
+            SCENE, CAM, W, H, spp=2, optimizer=optimizer, mesh=mesh,
+            max_bounces=3, tile_rows=8, interpret=True)
+        p2, opt_state, loss = step(params, opt_state, target, 0)
+        out[nd] = (float(loss), p2)
+    leaf = out[2][1]["albedo"]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    assert np.abs(shards[0] - shards[1]).max() == 0.0, \
+        "device replicas diverged: grad psum missing"
+    assert np.isclose(out[1][0], out[2][0], rtol=1e-6)
+    for k in ("sigma_a", "sigma_s"):
+        assert np.isclose(float(np.asarray(out[1][1][k])),
+                          float(np.asarray(out[2][1][k])), rtol=1e-5), k

@@ -90,11 +90,12 @@ def test_two_process_kernel_train_matches_single_process(tmp_path):
     for r in multi:
         assert bool(r["finite"]) and bool(r["moved"])
         assert int(r["ndev"]) == 8
-    assert np.isclose(float(multi[0]["loss"]), float(multi[1]["loss"]),
-                      rtol=0, atol=0)
-    assert np.isclose(float(multi[0]["loss"]), float(single["loss"]),
-                      rtol=1e-5, atol=1e-8), \
-        (float(multi[0]["loss"]), float(single["loss"]))
+    for k in ("loss", "loss2"):
+        assert np.isclose(float(multi[0][k]), float(multi[1][k]),
+                          rtol=0, atol=0)
+        assert np.isclose(float(multi[0][k]), float(single[k]),
+                          rtol=1e-5, atol=1e-8), \
+            (k, float(multi[0][k]), float(single[k]))
 
 
 @pytest.mark.slow

@@ -122,8 +122,15 @@ def make_sharded_kernel_train_step(scene: Scene, camera, width: int,
             return jax.lax.psum(jnp.sum(err), DATA_AXIS) / (npix * 3)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        # loss_fn already psums, so grads are replicated-consistent; the
-        # explicit psum keeps them bitwise identical across devices
+        # loss_fn psums the LOSS, but under check_vma=False the transpose
+        # of that psum does NOT re-reduce the cotangents: each device's
+        # value_and_grad returns only its own shard's partial gradient
+        # d(s_d)/d(theta). Without this explicit all-reduce every device
+        # applies a different update and the replicas silently diverge
+        # (caught by the round-5 two-process rehearsal, where the
+        # pixel-less shards' replicas never moved at all; invisible to
+        # any test whose frame fits one shard's tile).
+        grads = jax.lax.psum(grads, DATA_AXIS)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = project_params(optax.apply_updates(params, updates))
         return params, opt_state, loss
