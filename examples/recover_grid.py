@@ -51,6 +51,15 @@ def main():
     ap.add_argument("--interp", choices=("tri", "nearest"), default="tri",
                     help="pc transport interpolant; 'nearest' is ~3-7x "
                          "faster at n>=24 (BASELINE.md round 5)")
+    ap.add_argument("--lr-decay", type=float, default=1.0,
+                    help="final/initial lr ratio, exponential schedule "
+                         "over the run (1.0 = constant); a decayed tail "
+                         "converges into the stochastic-gradient noise "
+                         "ball instead of wandering in it")
+    ap.add_argument("--polyak", type=float, default=0.0,
+                    help="tail fraction (0..1) of steps to Polyak-average "
+                         "(0 = off); returns the average of the last "
+                         "polyak*steps iterates")
     ap.add_argument("--distance", choices=("free", "equiangular"),
                     default="free",
                     help="distance-sampling family for the training "
@@ -135,13 +144,22 @@ def main():
                for i, c in enumerate(cams)]
 
     init = np.full((n, n, n), args.init, np.float32)
-    print(f"fitting: {args.steps} steps, {args.spp}spp/render, lr={args.lr}")
+    if args.lr_decay != 1.0:
+        import optax
+        lr = optax.exponential_decay(args.lr, args.steps, args.lr_decay)
+    else:
+        lr = args.lr
+    polyak_from = (args.steps - int(args.polyak * args.steps)
+                   if args.polyak > 0 else 0)
+    print(f"fitting: {args.steps} steps, {args.spp}spp/render, "
+          f"lr={args.lr} decay={args.lr_decay} polyak_from={polyak_from}")
     t0 = time.time()
     rec, losses = fit_grid(with_field(init), cams, targets,
                            steps=args.steps, spp=args.spp,
-                           learning_rate=args.lr, max_bounces=8, seed=7,
+                           learning_rate=lr, max_bounces=8, seed=7,
                            backend=args.backend, reg_l1=args.reg_l1,
                            reg_tv=args.reg_tv, distance=args.distance,
+                           polyak_from=polyak_from,
                            log_every=max(args.steps // 10, 1))
     dt = time.time() - t0
 

@@ -200,6 +200,30 @@ def test_fit_grid_decreases_loss(tomo8):
 
 
 @pytest.mark.slow
+def test_fit_grid_polyak_and_schedule(tomo8):
+    """Round 5: learning_rate as an optax schedule + polyak_from tail
+    averaging. The averaged result must equal the running mean of the
+    post-polyak_from projected iterates (replayed with the identical
+    seeded step sequence) and stay inside [0, majorant]."""
+    import optax
+
+    n, truth, maj, cams, targets = tomo8
+    init = np.asarray(0.5 * truth)
+    scene = _grid_scene(init, maj, n)
+    sched = optax.exponential_decay(4e-2, 12, 0.1)
+    avg, losses = fit_grid(scene, cams, targets, steps=12, spp=2,
+                           learning_rate=sched, max_bounces=4, seed=3,
+                           polyak_from=8)
+    last, losses2 = fit_grid(scene, cams, targets, steps=12, spp=2,
+                             learning_rate=sched, max_bounces=4, seed=3)
+    assert losses == losses2  # identical seeded trajectory
+    a = np.asarray(avg)
+    assert np.isfinite(a).all() and a.min() >= 0.0 and a.max() <= maj
+    # the tail average is NOT the last iterate (it mixes steps 8..12)
+    assert not np.allclose(a, np.asarray(last))
+
+
+@pytest.mark.slow
 def test_grid_train_step_kernel_backend_runs_and_projects():
     """Round 4: the same trainer through the fused diff pair
     (backend="kernel", diff_grid voxel gradients) — interpret mode on the

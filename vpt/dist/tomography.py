@@ -189,13 +189,28 @@ def fit_grid(scene: Scene, cameras, targets, *, steps: int = 100,
              relmse_eps: float = 0.05, log_every: int = 0,
              backend: str = "engine", sampler: str = "ld",
              reg_l1: float = 0.0, reg_tv: float = 0.0,
-             distance: str = "free", interpret: bool = False):
+             distance: str = "free", interpret: bool = False,
+             polyak_from: int = 0):
     """Recover scene.medium.density.params (voxel values) from V target
     views. scene carries the INITIAL grid (its shape/origin/spacing/
     majorant are the reconstruction's fixed geometry — majorant bounds
     every iterate, so size it for the densities you expect to recover,
     not the initial guess). backend="kernel" runs the fused diff pair
-    (fast path). Returns (values, losses)."""
+    (fast path).
+
+    learning_rate may be a float or an optax schedule (step -> lr):
+    with stochastic A/B-MSE gradients, a constant rate leaves the
+    iterate wandering in an O(lr) noise ball around the optimum; a
+    decayed schedule converges into it (the round-5 fog study showed
+    the same effect on the coefficient problem, BASELINE.md).
+
+    polyak_from > 0 additionally returns the Polyak (tail) average of
+    the iterates from that step onward — averaging over the noise ball
+    estimates its center at no extra render cost. The average is taken
+    AFTER the [0, majorant] projection, so it stays in the feasible box
+    (a convex set; the mean of projected iterates is feasible too).
+
+    Returns (values, losses)."""
     if len(cameras) != len(targets):
         raise ValueError("one target image per camera")
     height, width = np.asarray(targets[0]).shape[:2]
@@ -215,12 +230,17 @@ def fit_grid(scene: Scene, cameras, targets, *, steps: int = 100,
     values = jnp.asarray(scene.medium.density.params, jnp.float32)
     opt_state = optimizer.init(values)
     losses = []
+    avg, n_avg = None, 0
     for i in range(steps):
         k = (jnp.int32(seed + i) if backend == "kernel"
              else jax.random.PRNGKey(seed + i))
         values, opt_state, loss = step(values, opt_state, targets_flat,
                                        weights, k)
         losses.append(float(loss))
+        if polyak_from and i + 1 >= polyak_from:
+            n_avg += 1
+            avg = (values if avg is None
+                   else avg + (values - avg) / n_avg)
         if log_every and i % log_every == 0:
             print(f"step {i:4d}  loss {losses[-1]:.6g}")
-    return values, losses
+    return (avg if avg is not None else values), losses
